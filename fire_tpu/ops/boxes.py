@@ -1,0 +1,101 @@
+"""Box math + mask-based device NMS.
+
+Replaces the reference's pure-Python O(n²) greedy NMS
+(processing/postprocess.py:235-279) and the NMS hidden inside OpenCV's
+``FaceDetectorYN`` with a fixed-shape, jit-safe suppression loop: all
+pairwise IoUs are one vectorised op, then ``lax.fori_loop`` picks the
+max-score survivor ``max_out`` times.  No dynamic shapes anywhere, so
+the whole detector post-process stays on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e9
+
+
+def xywh_to_xyxy(b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([b[..., :2], b[..., :2] + b[..., 2:4]], axis=-1)
+
+
+def xyxy_to_xywh(b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([b[..., :2], b[..., 2:4] - b[..., :2]], axis=-1)
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray, plus_one: bool = False) -> jnp.ndarray:
+    """Pairwise IoU of xyxy boxes ``a`` (N,4) × ``b`` (M,4) → (N,M).
+
+    ``plus_one=True`` reproduces the legacy `+1` pixel-area convention of
+    the reference RetinaFace NMS (processing/postprocess.py:247,272-273).
+    """
+    off = 1.0 if plus_one else 0.0
+    ax1, ay1, ax2, ay2 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
+    bx1, by1, bx2, by2 = b[None, :, 0], b[None, :, 1], b[None, :, 2], b[None, :, 3]
+    iw = jnp.maximum(0.0, jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1) + off)
+    ih = jnp.maximum(0.0, jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1) + off)
+    inter = iw * ih
+    area_a = (ax2 - ax1 + off) * (ay2 - ay1 + off)
+    area_b = (bx2 - bx1 + off) * (by2 - by1 + off)
+    union = area_a + area_b - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def iou_matrix_xywh(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of xywh boxes — tracker association convention
+    (sort_UKF.py:18-52: degenerate boxes get IoU 0)."""
+    valid_a = (a[:, 2:3] > 0) & (a[:, 3:4] > 0)
+    valid_b = (b[None, :, 2] > 0) & (b[None, :, 3] > 0)
+    m = iou_matrix(xywh_to_xyxy(a), xywh_to_xyxy(b))
+    return jnp.where(valid_a & valid_b, m, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_out", "plus_one", "suppress_equal"))
+def nms(
+    boxes_xyxy: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_out: int,
+    score_threshold: float = 0.0,
+    plus_one: bool = False,
+    suppress_equal: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a fixed candidate set.
+
+    Args:
+      boxes_xyxy: (N, 4); scores: (N,) with invalid candidates already
+        at/below ``score_threshold``.
+      suppress_equal: suppress at IoU == threshold too (`>=`, matching
+        processing/postprocess.py:276); default strict `>`.
+    Returns:
+      ``(keep_idx (max_out,), keep_mask (max_out,))`` — indices of kept
+      boxes in score order; masked slots point at index 0.
+    """
+    ious = iou_matrix(boxes_xyxy, boxes_xyxy, plus_one=plus_one)
+    live = jnp.where(scores > score_threshold, scores, NEG)
+
+    def body(_, state):
+        live_scores, keep_idx, keep_mask, n_kept = state
+        best = jnp.argmax(live_scores)
+        ok = live_scores[best] > NEG / 2
+        keep_idx = jnp.where(ok, keep_idx.at[n_kept].set(best), keep_idx)
+        keep_mask = jnp.where(ok, keep_mask.at[n_kept].set(True), keep_mask)
+        overl = ious[best]
+        sup = jnp.where(suppress_equal, overl >= iou_threshold, overl > iou_threshold)
+        sup = sup | (jnp.arange(live_scores.shape[0]) == best)
+        live_scores = jnp.where(ok & sup, NEG, live_scores)
+        n_kept = n_kept + jnp.where(ok, 1, 0)
+        return live_scores, keep_idx, keep_mask, n_kept
+
+    init = (
+        live,
+        jnp.zeros((max_out,), jnp.int32),
+        jnp.zeros((max_out,), bool),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, keep_idx, keep_mask, _ = jax.lax.fori_loop(0, max_out, body, init)
+    return keep_idx, keep_mask

@@ -1,0 +1,144 @@
+"""Batched image preprocessing ops (device-side).
+
+TPU-native replacements for the OpenCV calls the reference makes on the
+host per face / per frame (``cv2.resize`` at modules/encoder.py:20,
+``cv2.cvtColor``/slice-reverse BGR→RGB at yunet_face_detector.py:165,
+scale-resize at processing/preprocess.py:86-117).  All ops are
+shape-static and batchable so the whole preprocess fuses into the
+detector/encoder jit graphs instead of round-tripping to the host.
+
+Convention: images are float32/bfloat16 or uint8 arrays in HWC / NHWC
+layout; boxes are pixel-space ``[x, y, w, h]`` unless noted.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bgr_to_rgb(x: jnp.ndarray) -> jnp.ndarray:
+    """Channel-reverse on the last axis (works for any leading dims)."""
+    return x[..., ::-1]
+
+
+rgb_to_bgr = bgr_to_rgb  # involution
+
+
+def normalize_01(x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [0,255] → dtype [0,1] (modules/encoder.py:21)."""
+    return x.astype(dtype) / jnp.asarray(255.0, dtype)
+
+
+def resize_bilinear(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Half-pixel-centre bilinear resize (cv2.INTER_LINEAR semantics).
+
+    ``image``: (..., H, W, C).  Uses jax.image.resize which XLA lowers to
+    a dense (MXU-friendly) resampling for static shapes.
+    """
+    *lead, h, w, c = image.shape
+    shape = (*lead, out_hw[0], out_hw[1], c)
+    return jax.image.resize(image, shape, method="linear", antialias=False)
+
+
+def resize_area(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """cv2.INTER_AREA-style downscale (modules/encoder.py:20).
+
+    Integer down-scale factors use an exact box average (bit-identical
+    to INTER_AREA); other ratios fall back to antialiased linear
+    resampling, the closest XLA-native approximation.
+    """
+    *lead, h, w, c = image.shape
+    oh, ow = out_hw
+    if h % oh == 0 and w % ow == 0 and h >= oh and w >= ow:
+        fy, fx = h // oh, w // ow
+        x = image.reshape(*lead, oh, fy, ow, fx, c)
+        return x.mean(axis=(-4, -2))
+    shape = (*lead, oh, ow, c)
+    return jax.image.resize(image, shape, method="linear", antialias=True)
+
+
+def letterbox(
+    image: jnp.ndarray, out_hw: Tuple[int, int], pad_value: float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aspect-preserving resize + bottom/right pad to ``out_hw``.
+
+    Returns ``(canvas, scale)`` where ``boxes_in_canvas / scale`` maps
+    detections back to source-image pixels.  Static for a given input
+    shape, so it lives inside the detector jit.
+    """
+    h, w = image.shape[-3], image.shape[-2]
+    oh, ow = out_hw
+    scale = min(oh / h, ow / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = resize_bilinear(image, (nh, nw))
+    pad_h, pad_w = oh - nh, ow - nw
+    pad_cfg = [(0, 0)] * (image.ndim - 3) + [(0, pad_h), (0, pad_w), (0, 0)]
+    canvas = jnp.pad(resized, pad_cfg, constant_values=pad_value)
+    return canvas, jnp.asarray(scale, jnp.float32)
+
+
+def _bilinear_gather(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``image`` (H,W,C) at float coords ``ys`` (Oh,) × ``xs`` (Ow,).
+
+    Border handling: clamp (replicate edge).  Returns (Oh,Ow,C).
+    """
+    h, w = image.shape[0], image.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+
+    ya = y0i[:, None]
+    yb = y1i[:, None]
+    xa = x0i[None, :]
+    xb = x1i[None, :]
+    v00 = image[ya, xa]
+    v01 = image[ya, xb]
+    v10 = image[yb, xa]
+    v11 = image[yb, xb]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+@partial(jax.jit, static_argnames=("out_hw",))
+def crop_and_resize(
+    image: jnp.ndarray,
+    boxes_xywh: jnp.ndarray,
+    out_hw: Tuple[int, int] = (160, 160),
+) -> jnp.ndarray:
+    """Batched crop + bilinear resize from one frame.
+
+    Device-side replacement for the per-track host pattern
+    ``image[y:y+h, x:x+w]`` → ``cv2.resize(..., (160,160))``
+    (face_recognition.py:417 + modules/encoder.py:20).
+
+    Args:
+      image: (H, W, C) float array.
+      boxes_xywh: (N, 4) float pixel boxes; degenerate boxes (w/h <= 0)
+        are clamped to 1px so the gather stays in-bounds (callers mask
+        those faces out downstream).
+    Returns:
+      (N, out_h, out_w, C) crops.
+    """
+    oh, ow = out_hw
+
+    def one(box):
+        x, y, w, h = box[0], box[1], jnp.maximum(box[2], 1.0), jnp.maximum(box[3], 1.0)
+        # Half-pixel-centre mapping into the crop, then offset into the
+        # frame; clamp to the crop interior to mimic resizing the slice.
+        ys = y + (jnp.arange(oh, dtype=jnp.float32) + 0.5) * h / oh - 0.5
+        xs = x + (jnp.arange(ow, dtype=jnp.float32) + 0.5) * w / ow - 0.5
+        ys = jnp.clip(ys, y, y + h - 1.0)
+        xs = jnp.clip(xs, x, x + w - 1.0)
+        return _bilinear_gather(image, ys, xs)
+
+    return jax.vmap(one)(boxes_xywh.astype(jnp.float32))
