@@ -1,0 +1,141 @@
+"""End-to-end benchmark: 1080p video-pipeline FPS per chip.
+
+Workload mirrors the reference's headline metric (README.md:53-54,
+methodology = frames / elapsed wall clock at close,
+face_recognition.py:865-876): the FULL recognize_faces path — detector
+CNN on every frame (YuNet slot at the configured detect resolution),
+SORT/UKF tracking, batched FaceNet-512 encoding of new tracks,
+three-tier matching against a 100,000-identity gallery, unknown
+enrollment — on synthetic 1080p frames with 4 faces/frame and identity
+churn every 50 frames (so the encode path stays exercised, as in real
+footage where new people enter).
+
+Synthetic detections are injected AFTER the real detector runs (its
+full cost is paid) because the bundled weights are randomly initialized
+(the reference ONNX files are LFS stubs) and an untrained detector
+would otherwise emit nothing, silently skipping the tracker/encoder
+work that the reference pipeline performs.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is FPS / 87.81 (the reference's best published number,
+README.md:53).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# persistent XLA compile cache: repeat bench runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fire_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
+BASELINE_FPS = 87.81
+N_FRAMES = 300
+WARMUP = 30
+FACES_PER_FRAME = 4
+CHURN_EVERY = 50
+
+
+def synth_detections(frame_idx: int):
+    """4 moving faces; identities shift every CHURN_EVERY frames."""
+    epoch = frame_idx // CHURN_EVERY
+    t = frame_idx % CHURN_EVERY
+    dets = []
+    for i in range(FACES_PER_FRAME):
+        x = 100 + 400 * i + 2 * t + 17 * (epoch % 3)
+        y = 200 + 100 * (i % 2) + t + 29 * (epoch % 5)
+        dets.append({"bbox": [int(x), int(y), 120, 140], "confidence": 0.95})
+    return dets
+
+
+def main() -> None:
+    import jax
+
+    from fire_tpu.config import TrackerConfig
+    from fire_tpu.pipeline.recognizer import FaceRecognition
+
+    # Pay the one-time device→host channel setup (~minutes on the
+    # tunnelled axon platform) before anything is timed.
+    _log("warming device→host channel")
+    np.asarray(jax.device_put(np.zeros(4, np.float32)))
+    _log("d2h ready")
+
+    storage = tempfile.mkdtemp(prefix="fire_bench_")
+    fr = FaceRecognition(
+        detector_type="yunet",
+        encoder_model_type="512",
+        similarity_threshold=0.7,
+        unknown_trigger_count=1,
+        detection_interval=1,
+        enable_logging=False,
+        storage_root=storage,
+        tracker_cfg=TrackerConfig(assignment="hungarian"),
+    )
+
+    # 100k-identity gallery (the reference's hard cap,
+    # modules/hnsw_manager.py:29) so every match is a full-scale search.
+    rng = np.random.default_rng(0)
+    gal = rng.standard_normal((100_000, 512)).astype(np.float32)
+    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+    fr.gallery.load_rows(
+        (i + 1, f"person_{i}", gal[i].tobytes()) for i in range(gal.shape[0])
+    )
+    fr.gallery.save = lambda: None  # persistence timed separately; see README
+    fr.db_manager.add = lambda label, emb: -1  # keep the bench I/O-free
+
+    # synthetic 1080p frames (decode cost is not the metric; the
+    # reference reads webcam/video frames outside its FPS loop stages)
+    frames = [
+        rng.integers(0, 255, (1080, 1920, 3), np.uint8) for _ in range(8)
+    ]
+
+    real_detect = fr.detect_faces
+    state = {"i": 0}
+
+    def detect_with_injection(image):
+        real_detect(image)  # pay the real detector cost
+        return synth_detections(state["i"])
+
+    fr.detect_faces = detect_with_injection
+
+    # warmup (compile)
+    _log("warmup/compile")
+    for i in range(WARMUP):
+        state["i"] = i
+        fr.recognize_faces(frames[i % len(frames)])
+    _log("timed run")
+
+    t0 = time.time()
+    for i in range(N_FRAMES):
+        state["i"] = WARMUP + i
+        fr.recognize_faces(frames[i % len(frames)])
+    elapsed = time.time() - t0
+    fps = N_FRAMES / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "1080p video FPS/chip (YuNet+FaceNet512, 100k gallery)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

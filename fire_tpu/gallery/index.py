@@ -1,0 +1,278 @@
+"""HBM-resident exact cosine top-k gallery — the hnswlib replacement.
+
+The reference keeps identities in an approximate HNSW graph
+(modules/hnsw_manager.py): cosine space, 100k element cap, parallel
+Python lists mapping insertion counter → label / SQLite row id.  On TPU
+the right structure is simpler and *exact*: a row-normalized
+(capacity, D) matrix pinned in HBM; a query batch is one bf16 MXU
+matmul + ``lax.top_k`` (fire_tpu.ops.gallery_match).  At the 100k×512
+cap that is ~0.1 GFLOP — exactness costs nothing, and the matrix shards
+trivially across chips by rows (fire_tpu.parallel.sharded_gallery).
+
+API mirrors HNSWManager so the orchestrator semantics carry over
+1:1 — ids are insertion counters, ``query`` returns (ids, cosine
+distances = 1 − similarity) (hnsw_manager.py:145-149), group relabel
+refuses to unify conflicting known labels (hnsw_manager.py:151-199),
+and a corrupt/missing persisted index falls back to a fresh one
+rebuilt from SQLite (hnsw_manager.py:69-76, face_recognition.py:151-155).
+
+Persistence keeps the reference's file-triplet layout (index/labels/
+db_ids at the same paths, each optionally Fernet-encrypted via the same
+whole-file format) — the index file holds our dense matrix (.npy bytes)
+rather than an hnswlib graph; a legacy hnswlib .bin fails to parse and
+triggers the rebuild-from-SQLite recovery path, which is lossless since
+SQLite is the source of truth.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import os
+import pickle
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fire_tpu.gallery.crypto import Encryptor
+from fire_tpu.ops.gallery_match import cosine_topk, l2_normalize
+
+log = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _set_row(gal: jnp.ndarray, idx, vec) -> jnp.ndarray:
+    """In-place (donated) row write — enrollments never reallocate the
+    full HBM matrix."""
+    return gal.at[idx].set(vec)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _query(gal: jnp.ndarray, queries: jnp.ndarray, count, k: int):
+    valid = jnp.arange(gal.shape[0]) < count
+    return cosine_topk(queries, gal, valid, k=k)
+
+
+class DeviceGallery:
+    """Exact cosine top-k index with HNSWManager-compatible semantics."""
+
+    def __init__(
+        self,
+        embedding_dim: int,
+        index_path: Optional[str] = None,
+        labels_path: Optional[str] = None,
+        db_ids_path: Optional[str] = None,
+        encryptor: Optional[Encryptor] = None,
+        capacity: int = 100_000,
+    ):
+        self.embedding_dim = embedding_dim
+        self.capacity = capacity
+        self.padded = _round_up(capacity, 128)
+        self.index_path = index_path
+        self.labels_path = labels_path
+        self.db_ids_path = db_ids_path
+        self.encryptor = encryptor
+
+        self.labels: List[str] = []
+        self.db_ids: List[int] = []
+        self._gal = jnp.zeros((self.padded, embedding_dim), jnp.float32)
+
+        paths = [index_path, labels_path, db_ids_path]
+        if all(p and os.path.exists(p) for p in paths):
+            self._load()
+        else:
+            log.info("Initialized new device gallery (capacity %d).", capacity)
+
+    # -- size --------------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        return len(self.labels)
+
+    def get_current_count(self) -> int:  # hnswlib API parity
+        return self.count
+
+    # -- persistence -------------------------------------------------------
+
+    def _read(self, path: str) -> bytes:
+        if self.encryptor:
+            return self.encryptor.read_and_decrypt(path)
+        with open(path, "rb") as f:
+            return f.read()
+
+    def _write(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        if self.encryptor:
+            self.encryptor.encrypt_and_write(path, data)
+        else:
+            with open(path, "wb") as f:
+                f.write(data)
+
+    def _load(self) -> None:
+        try:
+            buf = io.BytesIO(self._read(self.index_path))
+            mat = np.load(buf, allow_pickle=False)
+            labels = pickle.loads(self._read(self.labels_path))
+            db_ids = pickle.loads(self._read(self.db_ids_path))
+            if mat.shape != (len(labels), self.embedding_dim):
+                raise ValueError(f"index shape {mat.shape} != {len(labels)} labels")
+            self.labels = list(labels)
+            self.db_ids = list(db_ids)
+            gal = np.zeros((self.padded, self.embedding_dim), np.float32)
+            gal[: len(labels)] = mat
+            self._gal = jnp.asarray(gal)
+            log.info("Loaded gallery (%d identities) from disk.", self.count)
+        except Exception as e:
+            # corrupt/legacy index → fresh, caller rebuilds from SQLite
+            # (hnsw_manager.py:69-76)
+            log.error("Error loading gallery index: %s", e)
+            self.labels, self.db_ids = [], []
+            self._gal = jnp.zeros((self.padded, self.embedding_dim), jnp.float32)
+            log.info("Initialized a new gallery due to loading failure.")
+
+    def save(self) -> None:
+        """Persist the triplet (hnsw_manager.py:78-112 layout)."""
+        if not (self.index_path and self.labels_path and self.db_ids_path):
+            return
+        mat = np.asarray(self._gal[: self.count])
+        buf = io.BytesIO()
+        np.save(buf, mat, allow_pickle=False)
+        self._write(self.index_path, buf.getvalue())
+        self._write(self.labels_path, pickle.dumps(self.labels))
+        self._write(self.db_ids_path, pickle.dumps(self.db_ids))
+        log.info("Saved gallery index and mappings to disk.")
+
+    save_hnswlib_index = save  # orchestrator-facing alias
+
+    # -- mutation ----------------------------------------------------------
+
+    def add(self, embedding: np.ndarray, label: str, db_id: int) -> bool:
+        """Append one identity (hnsw_manager.py:135-143; returns False at
+        the capacity cap)."""
+        if self.count >= self.capacity:
+            log.warning("Gallery has reached its maximum capacity. Cannot add more embeddings.")
+            return False
+        vec = np.asarray(embedding, np.float32).reshape(-1)
+        n = np.linalg.norm(vec)
+        if n > 0:
+            vec = vec / n
+        self._gal = _set_row(self._gal, jnp.asarray(self.count), jnp.asarray(vec))
+        self.labels.append(label)
+        self.db_ids.append(int(db_id))
+        return True
+
+    add_embedding = add
+
+    def load_rows(self, rows) -> None:
+        """Bulk hydrate from SQLite rows with re-normalization
+        (hnsw_manager.py:114-133); one host→device transfer."""
+        vecs, labels, db_ids = [], [], []
+        for db_id, label, blob in rows:
+            emb = np.frombuffer(blob, np.float32)
+            if emb.shape[0] != self.embedding_dim:
+                log.warning("Embedding size mismatch for label '%s'. Skipping.", label)
+                continue
+            n = np.linalg.norm(emb)
+            if n == 0:
+                log.warning("Zero vector found for label '%s'. Skipping.", label)
+                continue
+            vecs.append(emb / n)
+            labels.append(label)
+            db_ids.append(int(db_id))
+        if not vecs:
+            return
+        take = min(len(vecs), self.capacity - self.count)
+        if take < len(vecs):
+            log.warning("Gallery capacity cap: loading %d of %d rows.", take, len(vecs))
+        start = self.count
+        gal = np.array(self._gal)  # mutable copy (asarray view is read-only)
+        gal[start : start + take] = np.stack(vecs[:take])
+        self._gal = jnp.asarray(gal)
+        self.labels.extend(labels[:take])
+        self.db_ids.extend(db_ids[:take])
+        log.info("Loaded %d embeddings into device gallery.", take)
+
+    load_embeddings_into_hnswlib = load_rows
+
+    # -- queries -----------------------------------------------------------
+
+    def query(self, embedding: np.ndarray, k: int = 1):
+        """(ids, cosine distances) like hnswlib knn_query; (None, None)
+        when empty (hnsw_manager.py:145-149)."""
+        if self.count == 0:
+            return None, None
+        q = np.asarray(embedding, np.float32).reshape(1, -1)
+        sims, idx = _query(self._gal, jnp.asarray(q), jnp.asarray(self.count), min(k, self.count))
+        return np.asarray(idx), 1.0 - np.asarray(sims)
+
+    def query_batch(self, embeddings: np.ndarray, k: int = 1):
+        """Batched variant used by the pipeline (one matmul for all
+        faces of a frame batch)."""
+        if self.count == 0:
+            return None, None
+        q = np.asarray(embeddings, np.float32)
+        sims, idx = _query(self._gal, jnp.asarray(q), jnp.asarray(self.count), min(k, self.count))
+        return np.asarray(idx), 1.0 - np.asarray(sims)
+
+    def find_similar(self, embedding: np.ndarray, threshold: float, k: int = 50) -> List[int]:
+        """All ids with similarity ≥ threshold among the top
+        min(k, count) (hnsw_manager.py:227-244)."""
+        if self.count == 0:
+            return []
+        ids, dists = self.query(embedding, k=min(k, self.count))
+        out = []
+        for i, d in zip(ids[0], dists[0]):
+            if 1.0 - d >= threshold:
+                out.append(int(i))
+        return out
+
+    find_similar_embeddings = find_similar
+
+    # -- relabel / unify ---------------------------------------------------
+
+    def rename_single(self, gid: int, new_label: str, store) -> None:
+        """hnsw_manager.py:201-207."""
+        db_id = self.db_ids[gid]
+        store.update_label(db_id, new_label)
+        self.labels[gid] = new_label
+        self.save()
+
+    def unify_labels(self, gids: List[int], new_label: str, store) -> None:
+        """Rename a whole similar group in DB + memory
+        (hnsw_manager.py:209-225)."""
+        store.update_labels([self.db_ids[g] for g in gids], new_label)
+        for g in gids:
+            self.labels[g] = new_label
+        log.info("Unified %d embeddings under label '%s'.", len(gids), new_label)
+        self.save()
+
+    def update_label(self, gid: int, new_label: str, store, similarity_threshold: float = 0.7) -> None:
+        """Group relabel with conflict refusal (hnsw_manager.py:151-199):
+        unify all neighbours ≥ threshold under ``new_label`` unless more
+        than one distinct known (non-Unknown) label is present."""
+        if gid < 0 or gid >= self.count:
+            log.error("Invalid gallery id for update_label.")
+            return
+        ref = store.get_embedding(self.db_ids[gid])
+        if ref is None:
+            self.rename_single(gid, new_label, store)
+            return
+        similar = self.find_similar(ref, similarity_threshold, k=50)
+        if not similar:
+            self.rename_single(gid, new_label, store)
+            return
+        known = [self.labels[s] for s in similar if not self.labels[s].lower().startswith("unknown")]
+        if len(set(known)) > 1:
+            log.warning("Conflicting known labels found. Not unifying this group.")
+            self.rename_single(gid, new_label, store)
+            return
+        self.unify_labels(similar, new_label, store)

@@ -59,7 +59,11 @@ def cosine_topk_f32(
     k: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-precision variant (used by parity tests and enroll dedup)."""
-    sims = jnp.dot(queries, gallery.T, preferred_element_type=jnp.float32)
+    sims = jnp.dot(
+        queries, gallery.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     sims = jnp.where(valid[None, :], sims, NEG)
     top_sims, top_idx = jax.lax.top_k(sims, k)
     return top_sims, top_idx

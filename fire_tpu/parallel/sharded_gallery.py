@@ -1,0 +1,81 @@
+"""Row-sharded gallery search over a device mesh.
+
+When the gallery outgrows one chip's HBM (or query throughput needs to
+scale), the (N, D) matrix shards by rows over the ``dp`` axis
+(SURVEY.md §2.4(d)): each device computes exact top-k over its rows
+with one local MXU matmul, then the tiny (B, k) candidate sets ride ICI
+via ``all_gather`` and reduce to the global top-k — O(B·k·n_devices)
+bytes of collective traffic instead of O(N·D).
+
+This is the distributed-communication layer the reference never had
+(SURVEY.md §5 "Distributed communication backend: None"), built on XLA
+collectives inside ``shard_map`` rather than NCCL/MPI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fire_tpu.ops.gallery_match import NEG
+
+
+def sharded_cosine_topk(
+    mesh: Mesh,
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int = 1,
+    axis: str = "dp",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact global cosine top-k with the gallery sharded by rows.
+
+    Args:
+      queries: (B, D) normalized, replicated.
+      gallery: (N, D) normalized; N divisible by mesh.shape[axis].
+      valid:   (N,) bool row mask.
+    Returns:
+      (sims (B, k), global_row_idx (B, k)).
+    """
+    n_shards = mesh.shape[axis]
+    n = gallery.shape[0]
+    assert n % n_shards == 0, f"gallery rows {n} not divisible by {n_shards} shards"
+    rows_per = n // n_shards
+
+    def local_fn(q, g, v):
+        # local exact top-k on this shard's rows (bf16 MXU, f32 accum)
+        sims = jnp.dot(
+            q.astype(jnp.bfloat16), g.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        sims = jnp.where(v[None, :], sims, NEG)
+        kk = min(k, rows_per)
+        l_sims, l_idx = jax.lax.top_k(sims, kk)
+        shard = jax.lax.axis_index(axis)
+        g_idx = l_idx + shard * rows_per
+        # gather candidates from all shards: (B, n_shards*kk)
+        all_sims = jax.lax.all_gather(l_sims, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(g_idx, axis, axis=1, tiled=True)
+        top_sims, pos = jax.lax.top_k(all_sims, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return top_sims, top_idx
+
+    spec_rows = P(axis)
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), spec_rows, spec_rows),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, gallery, valid)
+
+
+def shard_gallery(mesh: Mesh, gallery: jnp.ndarray, axis: str = "dp") -> jnp.ndarray:
+    """Place a gallery matrix (or row mask) row-sharded on the mesh."""
+    spec = P(axis, *([None] * (gallery.ndim - 1)))
+    return jax.device_put(gallery, NamedSharding(mesh, spec))

@@ -1,0 +1,319 @@
+"""DeviceEngine: the jitted detect / align / encode / match graphs.
+
+This is the TPU replacement for the reference's per-face host loop
+(face_recognition.py:404-486 encodes one 160×160 crop per
+``session.run``; SURVEY.md §2.4 notes the reference has zero batching).
+Here each stage is one jit with static shapes:
+
+* ``detect(frame)`` — letterbox → detector CNN → on-device decode + NMS
+  → padded `Detections` in source pixels.  One compiled graph per input
+  resolution (cached).
+* ``encode_boxes(frame, boxes)`` — batched crop+resize (160², /255,
+  BGR→RGB) fused with the FaceNet forward and L2 normalization; all
+  faces of a frame cost one MXU pass.  Bucketed padding (1/2/4/…/
+  max_encode) bounds the number of compiled variants.
+* ``extract_faces(image, align)`` — detector + batched 3-point affine
+  alignment (the reference's per-face cv2.warpAffine,
+  yunet_face_detector.py:136-159) on device.
+
+Weights: random-but-persistent by default (saved to the storage dir on
+first init so embeddings are stable across sessions); real FaceNet /
+detector weights load via fire_tpu.models.onnx_import when the ONNX
+files are available (the reference snapshot ships LFS stubs only).
+
+Note on parity: the reference's video path encodes the raw BGR crop
+while its add_face path encodes aligned RGB (SURVEY.md §2.2, the
+"encoder input quirk" at face_recognition.py:417-429).  We feed RGB on
+both paths — the deliberate, documented deviation SURVEY.md recommends.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fire_tpu.config import RecognizerConfig
+from fire_tpu.models.blazeface import BlazeFace, decode_blazeface
+from fire_tpu.models.detections import Detections
+from fire_tpu.models.facenet import FaceNet
+from fire_tpu.models.retinaface import RetinaFace, decode_retinaface
+from fire_tpu.models.yunet import YuNet, decode_yunet
+from fire_tpu.ops.affine import align_faces_160
+from fire_tpu.ops.gallery_match import l2_normalize
+from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize, letterbox
+
+log = logging.getLogger(__name__)
+
+
+def _materialize(shape_tree, seed: int):
+    """Build variable arrays from an eval_shape'd tree: lecun-normal
+    kernels, zero biases/means, unit scales/vars — deterministic per
+    parameter path so weights are reproducible across sessions."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    out = {}
+    for col, tree in shape_tree.items():
+        flat = flatten_dict(tree)
+        new = {}
+        for path, leaf in flat.items():
+            name = path[-1]
+            shape = tuple(leaf.shape)
+            dtype = np.dtype(leaf.dtype)
+            rng = np.random.default_rng(
+                (seed * 1_000_003 + hash((col,) + path)) % (2**63)
+            )
+            if name in ("var", "scale"):
+                arr = np.ones(shape, dtype)
+            elif name in ("mean", "bias"):
+                arr = np.zeros(shape, dtype)
+            elif len(shape) >= 2:
+                fan_in = int(np.prod(shape[:-1]))
+                arr = (rng.standard_normal(shape) / np.sqrt(max(fan_in, 1))).astype(dtype)
+            else:
+                arr = np.zeros(shape, dtype)
+            new[path] = jnp.asarray(arr)
+        out[col] = unflatten_dict(new)
+    return out
+
+
+def _buckets(n: int, cap: int) -> int:
+    """Round n up to the next power-of-two bucket (≤ cap)."""
+    b = 1
+    while b < n and b < cap:
+        b *= 2
+    return min(b, cap)
+
+
+class DeviceEngine:
+    def __init__(self, cfg: RecognizerConfig, params_dir: Optional[str] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.params_dir = params_dir
+        self.rng = jax.random.PRNGKey(seed)
+
+        dt = cfg.engine.cdtype
+        self.encoder = FaceNet(embed_dim=cfg.embedding_dim, dtype=dt)
+        det = cfg.detector_type
+        if det == "yunet":
+            self.detector = YuNet(dtype=dt)
+            self._detect_input = cfg.engine.detect_size
+        elif det == "retinaface":
+            self.detector = RetinaFace(dtype=dt)
+            self._detect_input = cfg.engine.detect_size
+        elif det in ("mediapipe", "blazeface"):
+            self.detector = BlazeFace(dtype=dt)
+            self._detect_input = (128, 128)
+        else:
+            raise ValueError(
+                "Invalid detector_type. Choose from 'yunet', 'retinaface', 'mediapipe'."
+            )
+
+        self._init_params(seed)
+        self._detect_jit_cache: Dict[Tuple[int, int], callable] = {}
+        self._encode_jit = None  # built lazily per bucket via partial jit
+
+    # -- parameters --------------------------------------------------------
+
+    def _params_path(self) -> Optional[str]:
+        if self.params_dir is None:
+            return None
+        return os.path.join(
+            self.params_dir,
+            f"params_{self.cfg.detector_type}_{self.cfg.encoder_model_type}.msgpack",
+        )
+
+    def _init_params(self, seed: int) -> None:
+        from flax import serialization
+
+        # Materialize parameters directly in numpy from eval_shape'd
+        # variable trees: running the XLA init program for the full
+        # FaceNet-512 costs minutes on this setup; numpy fan-in init is
+        # milliseconds and equally good for placeholder weights (real
+        # weights come from ONNX import / training).
+        enc_in = jnp.zeros((1, *self.cfg.engine.encode_size, 3), jnp.float32)
+        det_in = jnp.zeros((1, *self._detect_input, 3), jnp.float32)
+        enc_shapes = jax.eval_shape(self.encoder.init, jax.random.PRNGKey(0), enc_in)
+        det_shapes = jax.eval_shape(self.detector.init, jax.random.PRNGKey(0), det_in)
+        self.enc_vars = _materialize(enc_shapes, seed)
+        self.det_vars = _materialize(det_shapes, seed + 1)
+
+        path = self._params_path()
+        if path and os.path.exists(path):
+            with open(path, "rb") as f:
+                blob = f.read()
+            state = serialization.from_bytes(
+                {"enc": self.enc_vars, "det": self.det_vars}, blob
+            )
+            self.enc_vars, self.det_vars = state["enc"], state["det"]
+            log.info("Loaded model parameters from %s.", path)
+        elif path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes({"enc": self.enc_vars, "det": self.det_vars}))
+            log.info("Saved freshly initialized model parameters to %s "
+                     "(embeddings stay stable across sessions).", path)
+
+    def load_onnx_weights(self, facenet_onnx: str) -> None:
+        """Import reference FaceNet weights (facenet_gpu.py:99-106) when
+        a real ONNX file is available."""
+        from fire_tpu.models.onnx_import import assign_facenet, read_onnx
+
+        graph = read_onnx(facenet_onnx)
+        params, stats = assign_facenet(
+            jax.tree.map(np.asarray, self.enc_vars["params"]),
+            jax.tree.map(np.asarray, self.enc_vars["batch_stats"]),
+            graph,
+        )
+        self.enc_vars = {"params": params, "batch_stats": stats}
+        log.info("Imported FaceNet weights from %s.", facenet_onnx)
+
+    # -- detection ---------------------------------------------------------
+
+    def _build_detect(self, frame_hw: Tuple[int, int]):
+        cfg = self.cfg
+        det_hw = self._detect_input
+        detector, det_vars = self.detector, self.det_vars
+        max_faces = cfg.engine.max_faces
+
+        def run(det_vars, frame_u8):
+            img = frame_u8.astype(jnp.float32) / 255.0
+            canvas, scale = letterbox(img, det_hw)
+            x = canvas[None]
+            if isinstance(detector, BlazeFace):
+                x = bgr_to_rgb(x)
+                scores, regs = detector.apply(det_vars, x)
+                return decode_blazeface(
+                    scores, regs, frame_hw,
+                    conf_threshold=cfg.blazeface_conf_threshold,
+                    max_faces=max_faces,
+                )
+            if isinstance(detector, RetinaFace):
+                x = bgr_to_rgb(x) * 255.0  # raw-pixel RGB (preprocess.py:130-143)
+                heads = detector.apply(det_vars, x)
+                return decode_retinaface(
+                    heads, det_hw, scale,
+                    threshold=cfg.retinaface_threshold,
+                    nms_threshold=cfg.retinaface_nms_threshold,
+                    max_faces=max_faces,
+                )
+            heads = detector.apply(det_vars, x)
+            return decode_yunet(
+                heads, scale,
+                conf_threshold=cfg.yunet_conf_threshold,
+                nms_threshold=cfg.yunet_nms_threshold,
+                max_faces=max_faces,
+            )
+
+        return jax.jit(run)
+
+    def detect(self, frame_bgr: np.ndarray) -> Detections:
+        """Frame (H, W, 3) uint8 BGR → padded `Detections` (device)."""
+        hw = frame_bgr.shape[:2]
+        fn = self._detect_jit_cache.get(hw)
+        if fn is None:
+            fn = self._build_detect(hw)
+            self._detect_jit_cache[hw] = fn
+        return fn(self.det_vars, jnp.asarray(frame_bgr))
+
+    def detect_faces(self, frame_bgr: np.ndarray):
+        """Reference list-of-dicts contract (yunet_face_detector.py:49-58)."""
+        d = self.detect(frame_bgr)
+        mask = np.asarray(d.mask)
+        boxes = np.asarray(d.boxes_xywh)
+        lms = np.asarray(d.landmarks)
+        scores = np.asarray(d.scores)
+        out = []
+        for i in np.nonzero(mask)[0]:
+            out.append(
+                {
+                    "bbox": boxes[i].astype(np.int32).tolist(),
+                    "landmarks": lms[i].astype(np.int32),
+                    "confidence": float(scores[i]),
+                }
+            )
+        return out
+
+    # -- encoding ----------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _encode_batch(self, enc_vars, faces01):
+        """faces01: (B, 160, 160, 3) RGB in [0,1] → (B, D) L2-normalized."""
+        emb = self.encoder.apply(enc_vars, faces01)
+        return l2_normalize(emb)
+
+    def _encode_boxes_jit(self, frame_hw: Tuple[int, int], bucket: int):
+        key = ("encb", frame_hw, bucket)
+        fn = self._detect_jit_cache.get(key)
+        if fn is None:
+            size = self.cfg.engine.encode_size
+
+            def run(enc_vars, frame_u8, boxes):
+                img = frame_u8.astype(jnp.float32) / 255.0
+                crops = crop_and_resize(img, boxes, size)  # BGR
+                emb = self.encoder.apply(enc_vars, bgr_to_rgb(crops))
+                return l2_normalize(emb)
+
+            fn = jax.jit(run)
+            self._detect_jit_cache[key] = fn
+        return fn
+
+    def encode_boxes(self, frame_bgr: np.ndarray, boxes_xywh: np.ndarray) -> np.ndarray:
+        """Encode all K face boxes of a frame in one fused device call.
+
+        Replaces the reference's crop → cv2.resize → session.run loop
+        (face_recognition.py:412-429 + modules/encoder.py:19-27).
+        """
+        k = boxes_xywh.shape[0]
+        if k == 0:
+            return np.zeros((0, self.cfg.embedding_dim), np.float32)
+        bucket = _buckets(k, self.cfg.engine.max_encode)
+        if k > bucket:  # more faces than the cap: chunk
+            outs = [
+                self.encode_boxes(frame_bgr, boxes_xywh[i : i + bucket])
+                for i in range(0, k, bucket)
+            ]
+            return np.concatenate(outs, axis=0)
+        padded = np.zeros((bucket, 4), np.float32)
+        padded[:k] = boxes_xywh
+        fn = self._encode_boxes_jit(frame_bgr.shape[:2], bucket)
+        emb = fn(self.enc_vars, jnp.asarray(frame_bgr), jnp.asarray(padded))
+        return np.asarray(emb)[:k]
+
+    def encode_faces(self, faces_rgb01: np.ndarray) -> np.ndarray:
+        """Encode pre-extracted (B, 160, 160, 3) RGB [0,1] crops —
+        the add_face path (modules/encoder.py:16-27)."""
+        if faces_rgb01.shape[0] == 0:
+            return np.zeros((0, self.cfg.embedding_dim), np.float32)
+        b = faces_rgb01.shape[0]
+        bucket = _buckets(b, max(self.cfg.engine.max_encode, b))
+        padded = np.zeros((bucket, *faces_rgb01.shape[1:]), np.float32)
+        padded[:b] = faces_rgb01
+        emb = self._encode_batch(self.enc_vars, jnp.asarray(padded))
+        return np.asarray(emb)[:b]
+
+    # -- extraction (detect + align) --------------------------------------
+
+    def extract_faces(self, image_bgr: np.ndarray, align: bool = True):
+        """Detect and return 160×160 RGB crops, aligned via the batched
+        3-point affine when requested — the extract_faces contract of
+        every reference backend (yunet_face_detector.py:89-170)."""
+        d = self.detect(image_bgr)
+        mask = np.asarray(d.mask)
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            return []
+        img01 = jnp.asarray(image_bgr).astype(jnp.float32) / 255.0
+        if align:
+            lms3 = jnp.asarray(np.asarray(d.landmarks3)[idx])
+            crops = align_faces_160(img01, lms3)
+        else:
+            boxes = jnp.asarray(np.asarray(d.boxes_xywh)[idx])
+            crops = crop_and_resize(img01, boxes, self.cfg.engine.encode_size)
+        crops = np.asarray(bgr_to_rgb(crops))
+        return [c for c in crops]

@@ -1,0 +1,674 @@
+"""FaceRecognition orchestrator — the reference's L2 pipeline runtime,
+re-designed around batched device steps.
+
+API, storage layout, and behavioural contracts mirror
+modules/face_recognition.py (every rule of SURVEY.md §2.2):
+
+* storage layout ``storage/<detector>_<encoder>_<encrypted?>/{db,hnsw}``
+  with the reference's file names (face_recognition.py:87-128);
+* three-tier matching — track-label cache → ≤200-entry recent cache →
+  gallery query — with cosine threshold semantics
+  (face_recognition.py:408-469);
+* unknown-face lifecycle: per-track accumulation, mean-embedding
+  enrollment as ``Unknown_<uuid4hex[:8]>`` after ``unknown_trigger_count``
+  sightings unless within threshold of an existing entry
+  (face_recognition.py:317-369);
+* enrollment dedup in add_face (face_recognition.py:231-238), write
+  buffer of ``max_new`` (face_recognition.py:177-196);
+* rename/merge semantics incl. ``shrink_db_ids``
+  (face_recognition.py:265-315,511-565);
+* frame skipping: detection every Nth frame, tracker coasting between
+  (face_recognition.py:376-393);
+* ``interested_label`` filtering (face_recognition.py:479-480);
+* encrypted outputs via temp files (face_recognition.py:567-575,
+  683-692, 750-758, 810-821); per-run timing reports
+  (face_recognition.py:577-581,694-698,865-876).
+
+What changed (TPU-first):
+
+* detection, alignment and encoding are jitted batched device graphs
+  (fire_tpu.pipeline.engine) — all faces of a frame encode in one
+  MXU pass instead of one ``session.run`` per face;
+* hnswlib is replaced by the exact HBM cosine top-k gallery
+  (fire_tpu.gallery.index);
+* the tracker is the vmapped device SORT (fire_tpu.track.sort);
+* video decode is prefetched on a host thread
+  (fire_tpu.pipeline.stream) so I/O overlaps device compute;
+* both encode paths feed RGB (the documented deviation from the
+  reference's BGR-crop quirk, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import tempfile
+import time
+import uuid
+from typing import List, Optional
+
+import cv2
+import numpy as np
+
+from fire_tpu.config import GalleryConfig, RecognizerConfig, TrackerConfig
+from fire_tpu.gallery.crypto import Encryptor
+from fire_tpu.gallery.index import DeviceGallery
+from fire_tpu.gallery.store import FaceStore
+from fire_tpu.pipeline.annotate import annotate_faces, resize_frame_to_screen
+from fire_tpu.pipeline.engine import DeviceEngine
+from fire_tpu.pipeline.stream import PrefetchReader
+from fire_tpu.pipeline.timing import StageTimer
+from fire_tpu.track.sort import Sort
+
+log = logging.getLogger(__name__)
+
+
+def _ensure_parent_dir(path: str) -> None:
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+
+
+class FaceRecognition:
+    def __init__(
+        self,
+        detector_type: str = "yunet",
+        align: bool = True,
+        encoder_model_type: str = "128",
+        encoder_mode: str = "gpu_optimized",
+        similarity_threshold: float = 0.5,
+        unknown_similarity_threshold: float = 0.6,
+        unknown_trigger_count: int = 3,
+        enable_logging: bool = True,
+        show: bool = False,
+        detection_interval: int = 3,
+        hnsw_index_path: Optional[str] = None,
+        hnsw_labels_path: Optional[str] = None,
+        hnsw_db_ids_path: Optional[str] = None,
+        hnsw_ef_construction: int = 200,  # accepted for API parity; the
+        hnsw_m: int = 16,                 # exact gallery needs no graph params
+        max_recent: int = 200,
+        max_new: int = 250,
+        sqlite_db_path: Optional[str] = None,
+        sqlite_db_encrypted_path: Optional[str] = None,
+        encryption_password: Optional[str] = None,
+        interested_label: Optional[str] = None,
+        storage_root: str = "storage",
+        engine: Optional[DeviceEngine] = None,
+        tracker_cfg: Optional[TrackerConfig] = None,
+    ):
+        encoder_model_type = encoder_model_type or "128"
+        self.cfg = RecognizerConfig(
+            detector_type=detector_type.lower(),
+            align=align,
+            encoder_model_type=encoder_model_type,
+            encoder_mode=encoder_mode,
+            similarity_threshold=similarity_threshold,
+            unknown_similarity_threshold=unknown_similarity_threshold,
+            unknown_trigger_count=unknown_trigger_count,
+            enable_logging=enable_logging,
+            show=show,
+            detection_interval=detection_interval,
+            encryption_password=encryption_password,
+            interested_label=interested_label,
+            storage_root=storage_root,
+            gallery=GalleryConfig(max_recent=max_recent, max_new=max_new),
+        ).with_embedding_dim()
+        cfg = self.cfg
+        self.similarity_threshold = similarity_threshold
+        self.unknown_similarity_threshold = unknown_similarity_threshold
+        self.unknown_trigger_count = unknown_trigger_count
+        self.detection_interval = detection_interval
+        self.align = align
+        self.show = show
+        self.enable_logging = enable_logging
+        self.interested_label = interested_label
+        self.embedding_dim = cfg.embedding_dim
+        self.frame_index = 0
+
+        logging.basicConfig(
+            level=logging.INFO if enable_logging else logging.CRITICAL,
+            format="%(asctime)s - %(levelname)s - %(message)s",
+        )
+
+        # encryption (face_recognition.py:77-85)
+        self.encryption_password = encryption_password
+        self.encryptor = Encryptor(encryption_password) if encryption_password else None
+        status = "encrypted" if encryption_password else "unencrypted"
+        log.info("Encryption is %s.", "enabled for file operations" if self.encryptor else "disabled")
+
+        # storage layout (face_recognition.py:87-128)
+        pipeline_dir = os.path.join(
+            storage_root, f"{cfg.detector_type}_{encoder_model_type}_{status}"
+        )
+        db_dir = os.path.join(pipeline_dir, "db")
+        hnsw_dir = os.path.join(pipeline_dir, "hnsw")
+        os.makedirs(db_dir, exist_ok=True)
+        os.makedirs(hnsw_dir, exist_ok=True)
+        stem = f"{cfg.detector_type}_{encoder_model_type}"
+        hnsw_index_path = hnsw_index_path or os.path.join(hnsw_dir, f"hnsw_index_{stem}.bin")
+        hnsw_labels_path = hnsw_labels_path or os.path.join(hnsw_dir, f"hnsw_labels_{stem}.pkl")
+        hnsw_db_ids_path = hnsw_db_ids_path or os.path.join(hnsw_dir, f"hnsw_db_ids_{stem}.pkl")
+        if encryption_password:
+            sqlite_db_encrypted_path = sqlite_db_encrypted_path or os.path.join(
+                db_dir, f"face_embeddings_{stem}.db.enc"
+            )
+            sqlite_db_path = None
+        else:
+            sqlite_db_path = sqlite_db_path or os.path.join(
+                db_dir, f"face_embeddings_{stem}.db"
+            )
+            sqlite_db_encrypted_path = None
+
+        # device engine (detector + encoder jit graphs)
+        self.engine = engine or DeviceEngine(cfg, params_dir=os.path.join(pipeline_dir, "params"))
+        self.detect_faces = self.engine.detect_faces
+        self.extract_faces = self.engine.extract_faces
+
+        # persistence + gallery
+        self.db_manager = FaceStore(
+            sqlite_db_path, sqlite_db_encrypted_path, self.encryptor, self.embedding_dim
+        )
+        self.gallery = DeviceGallery(
+            self.embedding_dim,
+            hnsw_index_path,
+            hnsw_labels_path,
+            hnsw_db_ids_path,
+            self.encryptor,
+            capacity=cfg.gallery.capacity,
+        )
+        # cold-start hydrate from SQLite (face_recognition.py:151-155)
+        if self.gallery.count == 0:
+            self.gallery.load_rows(self.db_manager.load_all())
+            self.gallery.save()
+
+        # caches + buffers (face_recognition.py:157-172)
+        self.recent_embeddings = np.empty((0, self.embedding_dim), np.float32)
+        self.recent_labels: List[str] = []
+        self.max_recent = max_recent
+        self.new_embeddings: List[np.ndarray] = []
+        self.new_labels: List[str] = []
+        self.max_new = max_new
+        self.unknown_faces: dict = {}
+        self.track_id_to_label: dict = {}
+
+        self.face_tracker = Sort(tracker_cfg or TrackerConfig())
+        self.timer = StageTimer()
+
+    # ------------------------------------------------------------- buffers --
+
+    def _flush_new_embeddings(self) -> None:
+        """face_recognition.py:177-196."""
+        try:
+            for label, emb in zip(self.new_labels, self.new_embeddings):
+                db_id = self.db_manager.add(label, emb)
+                if db_id == -1:
+                    continue
+                self.gallery.add(emb, label, db_id)
+            self.new_embeddings, self.new_labels = [], []
+            self.gallery.save()
+        except Exception as e:
+            log.error("Error flushing new embeddings: %s", e)
+
+    def save_database_to_sqlite(self) -> None:
+        if self.new_embeddings:
+            self._flush_new_embeddings()
+        log.info("Saved new embeddings to SQLite and the gallery index.")
+
+    # ---------------------------------------------------------- enrollment --
+
+    def add_face(self, image: np.ndarray, label: str) -> bool:
+        """Buffered enrollment with dedup (face_recognition.py:198-251)."""
+        try:
+            faces = self.extract_faces(image, align=self.align)
+            if not faces:
+                log.warning("No faces detected to add.")
+                return False
+            t0 = time.time()
+            embs = self.engine.encode_faces(np.stack(faces))
+            self.timer.add("encoding", time.time() - t0)
+            success = False
+            for emb in embs:
+                if np.linalg.norm(emb) == 0:
+                    log.error("Received zero vector from encoder. Skipping this face.")
+                    continue
+                if self.gallery.count > 0:
+                    ids, dists = self.gallery.query(emb, k=1)
+                    if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
+                        log.info(
+                            "Face is too similar to an existing face (Label: %s). Not adding.",
+                            self.gallery.labels[ids[0][0]],
+                        )
+                        continue
+                self.new_embeddings.append(emb)
+                self.new_labels.append(label)
+                log.info("Added face for label '%s' to the new embeddings buffer.", label)
+                success = True
+            if len(self.new_embeddings) >= self.max_new:
+                self._flush_new_embeddings()
+            return success
+        except Exception as e:
+            log.error("Error in add_face: %s", e)
+            return False
+
+    def _add_to_recent(self, emb: np.ndarray, label: str) -> None:
+        """FIFO recent cache (face_recognition.py:253-258)."""
+        self.recent_embeddings = np.vstack([self.recent_embeddings, emb[None]])
+        self.recent_labels.append(label)
+        if self.recent_embeddings.shape[0] > self.max_recent:
+            self.recent_embeddings = self.recent_embeddings[1:]
+            self.recent_labels.pop(0)
+
+    # ----------------------------------------------------- rename / shrink --
+
+    def update_label(self, gallery_id: int, new_label: str) -> None:
+        self.gallery.update_label(
+            gallery_id, new_label, self.db_manager,
+            similarity_threshold=self.similarity_threshold,
+        )
+
+    def shrink_db_ids(self, similarity_threshold: float = 0.75) -> None:
+        """Unify similar groups unless known labels conflict
+        (face_recognition.py:265-315)."""
+        processed = set()
+        total = 0
+        for gid in range(len(self.gallery.labels)):
+            if gid in processed:
+                continue
+            emb = self.db_manager.get_embedding(self.gallery.db_ids[gid])
+            if emb is None:
+                continue
+            similar = self.gallery.find_similar(emb, similarity_threshold, k=50)
+            if len(similar) <= 1:
+                processed.add(gid)
+                continue
+            labels = [self.gallery.labels[s] for s in similar]
+            known = [l for l in labels if not l.lower().startswith("unknown")]
+            if len(set(known)) > 1:
+                processed.update(similar)
+                continue
+            final = known[0] if known else self.gallery.labels[gid]
+            self.gallery.unify_labels(similar, final, self.db_manager)
+            total += 1
+            processed.update(similar)
+        log.info("DB ID shrinking completed with %d unification operations.", total)
+
+    # ------------------------------------------------------------ unknowns --
+
+    @staticmethod
+    def _generate_unique_label() -> str:
+        return f"Unknown_{uuid.uuid4().hex[:8]}"
+
+    def _enroll_now(self, label: str, emb: np.ndarray) -> None:
+        if self.gallery.count < self.gallery.capacity:
+            db_id = self.db_manager.add(label, emb)
+            if db_id != -1:
+                self.gallery.add(emb, label, db_id)
+        else:
+            log.warning("Gallery has reached its maximum capacity. Cannot add more embeddings.")
+
+    def _handle_unknown_embedding(
+        self, track_id: int, emb: np.ndarray, rename_label: Optional[str] = None
+    ) -> str:
+        """face_recognition.py:322-369."""
+        if rename_label:
+            # NOTE deviation: the reference both buffers AND immediately
+            # inserts the same embedding, then flushes the buffer — storing
+            # every such face twice (face_recognition.py:324-333 +
+            # :177-188).  We enroll exactly once.
+            log.info("Enrolling face with label '%s'.", rename_label)
+            self._enroll_now(rename_label, emb)
+            self._flush_new_embeddings()
+            return rename_label
+
+        entry = self.unknown_faces.setdefault(track_id, {"embeddings": [], "count": 0})
+        entry["embeddings"].append(emb)
+        entry["count"] += 1
+        if entry["count"] < self.unknown_trigger_count:
+            return "Unknown"
+
+        avg = np.mean(entry["embeddings"], axis=0)
+        if self.gallery.count > 0:
+            ids, dists = self.gallery.query(avg, k=1)
+            if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
+                gid = int(ids[0][0])
+                existing = (
+                    self.gallery.labels[gid] if gid < len(self.gallery.labels) else "Unknown"
+                )
+                log.info("Unknown face is too similar to an existing face. Not adding.")
+                return existing
+        label = self._generate_unique_label()
+        # single insert (see the rename-path note on the reference's
+        # double-insert at face_recognition.py:354-365)
+        log.info("Enrolling unknown face as '%s'.", label)
+        self._enroll_now(label, avg)
+        self._flush_new_embeddings()
+        del self.unknown_faces[track_id]
+        return label
+
+    # ----------------------------------------------------------- hot path --
+
+    def recognize_faces(self, image: np.ndarray, rename_label: Optional[str] = None):
+        """Per-frame recognition (face_recognition.py:371-489) with all
+        per-frame encoding batched into one device call."""
+        self.timer.start()
+        self.frame_index += 1
+
+        if self.frame_index % self.detection_interval == 0:
+            t0 = time.time()
+            detected = self.detect_faces(image)
+            self.timer.add("detection", time.time() - t0)
+            formatted = [
+                {"bbox": d.get("bbox", [0, 0, 0, 0]), "confidence": d.get("confidence", 1.0)}
+                for d in detected
+            ]
+            tracks = self.face_tracker.update(formatted)
+        else:
+            tracks = self.face_tracker.update([])
+
+        # drop state of dead tracks (face_recognition.py:396-401)
+        active = {t["id"] for t in tracks}
+        for tid in set(self.track_id_to_label) - active:
+            del self.track_id_to_label[tid]
+            self.unknown_faces.pop(tid, None)
+
+        # split cached / to-encode tracks
+        h, w = image.shape[:2]
+        to_encode = []
+        for trk in tracks:
+            if trk["id"] in self.track_id_to_label:
+                continue
+            x, y, bw, bh = trk["bbox"]
+            x, y = max(0, x), max(0, y)
+            bw, bh = max(0, bw), max(0, bh)
+            bw, bh = min(bw, w - x), min(bh, h - y)
+            if bw <= 0 or bh <= 0:
+                log.warning("Face image has zero size for track ID %s. Skipping.", trk["id"])
+                continue
+            to_encode.append((trk["id"], [x, y, bw, bh]))
+
+        # one batched encode for every new face in the frame
+        embs = {}
+        if to_encode:
+            t0 = time.time()
+            boxes = np.asarray([b for _, b in to_encode], np.float32)
+            batch = self.engine.encode_boxes(image, boxes)
+            self.timer.add("encoding", time.time() - t0)
+            # one batched gallery query for the same faces
+            gal_ids, gal_dists = (None, None)
+            if self.gallery.count > 0:
+                gal_ids, gal_dists = self.gallery.query_batch(batch, k=1)
+            for i, (tid, _) in enumerate(to_encode):
+                embs[tid] = (
+                    batch[i],
+                    None if gal_ids is None else int(gal_ids[i][0]),
+                    None if gal_dists is None else float(1.0 - gal_dists[i][0]),
+                )
+
+        results = []
+        for trk in tracks:
+            tid = trk["id"]
+            if tid in self.track_id_to_label:
+                label = self.track_id_to_label[tid]
+                confidence = 1.0
+            elif tid in embs:
+                emb, gal_gid, gal_sim = embs[tid]
+                if np.linalg.norm(emb) == 0:
+                    log.error("Received zero vector from encoder. Skipping this face.")
+                    continue
+                label, confidence = "Unknown", 0.0
+                # tier 2: recent-embedding cache (face_recognition.py:450-456)
+                if self.recent_embeddings.shape[0] > 0:
+                    sims = self.recent_embeddings @ emb
+                    mi = int(np.argmax(sims))
+                    if sims[mi] > self.similarity_threshold:
+                        label = self.recent_labels[mi]
+                        confidence = float(sims[mi])
+                # tier 3: gallery (face_recognition.py:459-469)
+                if label == "Unknown" and gal_gid is not None:
+                    if gal_sim > self.similarity_threshold:
+                        label = self.gallery.labels[gal_gid]
+                        confidence = gal_sim
+                        if rename_label:
+                            self.update_label(gal_gid, rename_label)
+                            label = rename_label
+                if label == "Unknown":
+                    label = self._handle_unknown_embedding(tid, emb, rename_label)
+                    confidence = 1.0
+                self.track_id_to_label[tid] = label
+                self._add_to_recent(emb, label)
+            else:
+                continue  # degenerate box skipped above
+
+            if self.interested_label is not None and label != self.interested_label:
+                continue
+            results.append(
+                {"label": self.track_id_to_label[tid], "confidence": float(confidence), "bbox": trk["bbox"]}
+            )
+
+        self.timer.tick_frame()
+        return results
+
+    # --------------------------------------------------------- image mode --
+
+    def process_image(
+        self,
+        image_path: str,
+        annotate: bool = True,
+        save_path: Optional[str] = None,
+        label: Optional[str] = None,
+    ) -> None:
+        """face_recognition.py:491-701 — no tracker; batched encode."""
+        try:
+            timer = StageTimer()
+            t0 = time.time()
+            image = cv2.imread(image_path)
+            if image is None:
+                log.error("Image not found at path: %s", image_path)
+                return
+            timer.add("Image Loading", time.time() - t0)
+
+            t0 = time.time()
+            detected = self.detect_faces(image)
+            timer.add("Face Detection", time.time() - t0)
+
+            # clamp boxes, drop degenerates (face_recognition.py:514-527)
+            h, w = image.shape[:2]
+            valid = []
+            for fd in detected:
+                x, y, bw, bh = [max(0, int(v)) for v in fd.get("bbox", [0, 0, 0, 0])]
+                bw, bh = min(bw, w - x), min(bh, h - y)
+                if bw == 0 or bh == 0:
+                    log.warning("Detected face with zero width or height.")
+                    continue
+                valid.append({"bbox": [x, y, bw, bh]})
+
+            embs = np.zeros((0, self.embedding_dim), np.float32)
+            if valid:
+                t0 = time.time()
+                boxes = np.asarray([f["bbox"] for f in valid], np.float32)
+                embs = self.engine.encode_boxes(image, boxes)
+                timer.add("Face Encoding", time.time() - t0)
+
+            if label:
+                # relabel path (face_recognition.py:511-565)
+                for emb in embs:
+                    if np.linalg.norm(emb) == 0:
+                        continue
+                    matched = False
+                    if self.gallery.count > 0:
+                        ids, dists = self.gallery.query(emb, k=1)
+                        if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
+                            gid = int(ids[0][0])
+                            self.update_label(gid, label)
+                            log.info("Updated label for gallery id %d to '%s'.", gid, label)
+                            matched = True
+                    if not matched:
+                        log.warning("No matching face found to update with the provided label.")
+                self._save_image(image, save_path)
+                timer.print_image_report()
+                return
+
+            # recognition path (face_recognition.py:583-698)
+            recognized = []
+            new_embs, new_labels = [], []
+            t0 = time.time()
+            if self.gallery.count > 0 and len(embs):
+                ids, dists = self.gallery.query_batch(embs, k=1)
+            else:
+                ids = dists = None
+            for i, face in enumerate(valid):
+                emb = embs[i]
+                if np.linalg.norm(emb) == 0:
+                    continue
+                found = None
+                if ids is not None and 1.0 - dists[i][0] > self.similarity_threshold:
+                    found = self.gallery.labels[int(ids[i][0])]
+                if found is None:
+                    found = self._generate_unique_label()
+                    new_embs.append(emb)
+                    new_labels.append(found)
+                recognized.append({"label": found, "bbox": face["bbox"]})
+            timer.add("Face Recognition", time.time() - t0)
+
+            t0 = time.time()
+            for lbl, emb in zip(new_labels, new_embs):
+                self._enroll_now(lbl, emb)
+            if new_embs:
+                self.gallery.save()
+            timer.add("Flushing Embeddings", time.time() - t0)
+
+            t0 = time.time()
+            out = annotate_faces(image, recognized) if annotate else image.copy()
+            timer.add("Image Annotation", time.time() - t0)
+
+            if self.show:
+                cv2.imshow("Face Recognition - Image", out)
+                cv2.waitKey(0)
+                cv2.destroyAllWindows()
+
+            t0 = time.time()
+            self._save_image(out, save_path)
+            timer.add("Image Saving", time.time() - t0)
+            timer.print_image_report()
+        except Exception as e:
+            log.error("Error in process_image: %s", e)
+
+    def _save_image(self, image: np.ndarray, save_path: Optional[str]) -> None:
+        """Optionally-encrypted image save (face_recognition.py:567-575)."""
+        if not save_path:
+            return
+        _ensure_parent_dir(save_path)
+        if self.encryptor:
+            ok, buf = cv2.imencode(".jpg", image)
+            self.encryptor.encrypt_and_write(save_path, buf.tobytes())
+        else:
+            cv2.imwrite(save_path, image)
+            log.info("Processed image saved to %s", save_path)
+
+    # -------------------------------------------------------- stream modes --
+
+    def _process_stream(
+        self,
+        cap,
+        annotate: bool = True,
+        save_path: Optional[str] = None,
+        duration: int = 0,
+        name: Optional[str] = None,
+        stream_type: str = "video",
+    ) -> None:
+        """face_recognition.py:739-834 with a decode-ahead reader."""
+        out = None
+        temp_video_path = None
+        reader = None
+        try:
+            if save_path:
+                _ensure_parent_dir(save_path)
+                fourcc = cv2.VideoWriter_fourcc(*"XVID")
+                fps = cap.get(cv2.CAP_PROP_FPS) or 30
+                if fps == 0:
+                    fps = 30
+                wh = (
+                    int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                    int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                )
+                if self.encryptor:
+                    fd, temp_video_path = tempfile.mkstemp(suffix=".avi")
+                    os.close(fd)
+                    out = cv2.VideoWriter(temp_video_path, fourcc, fps, wh)
+                else:
+                    out = cv2.VideoWriter(save_path, fourcc, fps, wh)
+                if not out.isOpened():
+                    log.error("Failed to open video writer.")
+                    return
+
+            self.timer = StageTimer()
+            self.timer.start()
+            reader = PrefetchReader(cap)
+            for frame in reader.frames():
+                faces = self.recognize_faces(frame, rename_label=name)
+                annotated = annotate_faces(frame, faces, with_confidence=True) if annotate else frame.copy()
+                if self.show:
+                    cv2.imshow(
+                        f"Face Recognition - {stream_type.capitalize()}",
+                        resize_frame_to_screen(annotated),
+                    )
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        log.info("User requested to quit %s processing.", stream_type)
+                        break
+                if out is not None:
+                    out.write(annotated)
+                if duration > 0 and (time.time() - self.timer.start_time) >= duration:
+                    log.info("Duration of %d seconds reached. Stopping.", duration)
+                    break
+        except Exception as e:
+            log.error("Error in _process_stream: %s", e)
+        finally:
+            if reader is not None:
+                reader.close()
+            cap.release()
+            if out is not None:
+                out.release()
+                if self.encryptor and save_path and temp_video_path:
+                    try:
+                        with open(temp_video_path, "rb") as f:
+                            self.encryptor.encrypt_and_write(save_path, f.read())
+                        os.remove(temp_video_path)
+                        log.info("Encrypted video saved to %s", save_path)
+                    except Exception as e:
+                        log.error("Error during encryption of video: %s", e)
+                elif save_path:
+                    log.info("Annotated video saved to %s", save_path)
+            if self.show:
+                cv2.destroyAllWindows()
+
+    def process_video(self, video_path: str, annotate: bool = True, save_path: Optional[str] = None) -> None:
+        cap = cv2.VideoCapture(video_path)
+        if not cap.isOpened():
+            log.error("Cannot open video file: %s", video_path)
+            return
+        self._process_stream(cap, annotate, save_path, stream_type="video")
+
+    def process_webcam(
+        self, annotate: bool = True, save_path: Optional[str] = None,
+        duration: int = 0, name: Optional[str] = None,
+    ) -> None:
+        cap = cv2.VideoCapture(0)
+        if not cap.isOpened():
+            log.error("Cannot open webcam.")
+            return
+        self._process_stream(cap, annotate, save_path, duration, name, stream_type="webcam")
+
+    # -------------------------------------------------------------- close --
+
+    def close(self) -> None:
+        """Flush + persist + report (face_recognition.py:856-876)."""
+        try:
+            self.save_database_to_sqlite()
+            self.gallery.save()
+            self.db_manager.save()
+            log.info("Closed FaceRecognition system and saved all data.")
+        except Exception as e:
+            log.error("Error closing FaceRecognition system: %s", e)
+        if self.enable_logging:
+            self.timer.log_stream_report()

@@ -1,0 +1,69 @@
+"""Host video I/O with decode-ahead prefetching.
+
+The reference reads frames synchronously inside the hot loop
+(``cap.read()`` at face_recognition.py:774), serialising host decode
+with inference.  Here a reader thread decodes ahead into a bounded
+queue so OpenCV/ffmpeg decode overlaps device compute — the
+double-buffering half of SURVEY.md §2.3's "batched, double-buffered
+device pipeline".
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+_SENTINEL = object()
+
+
+class PrefetchReader:
+    """Background-thread frame reader over a cv2.VideoCapture."""
+
+    def __init__(self, cap, depth: int = 8):
+        self.cap = cap
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            ret, frame = self.cap.read()
+            if not ret:
+                break
+            try:
+                self.q.put(frame, timeout=0.5)
+            except queue.Full:
+                if self._stop.is_set():
+                    break
+                try:
+                    self.q.put(frame)
+                except Exception:
+                    break
+        try:
+            self.q.put(_SENTINEL)
+        except Exception:
+            pass
+
+    def frames(self) -> Iterator[np.ndarray]:
+        while True:
+            item = self.q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+
+    def read(self) -> Optional[np.ndarray]:
+        item = self.q.get()
+        return None if item is _SENTINEL else item
+
+    def close(self) -> None:
+        self._stop.set()
+        # drain so the producer unblocks
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,191 @@
+"""Gallery subsystem: crypto round-trips, SQLite store, device index."""
+
+import numpy as np
+import pytest
+
+from fire_tpu.gallery.crypto import Encryptor
+from fire_tpu.gallery.index import DeviceGallery
+from fire_tpu.gallery.store import FaceStore
+
+
+def _emb(rng, d=32):
+    v = rng.standard_normal(d).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+# ---------------------------------------------------------------- crypto ---
+
+def test_fernet_roundtrip():
+    enc = Encryptor("hunter2")
+    blob = enc.encrypt_data(b"secret payload")
+    assert blob[:16] != b"secret payload"[:16]
+    assert enc.decrypt_data(blob) == b"secret payload"
+    # fresh salt every time → different ciphertexts
+    assert enc.encrypt_data(b"x") != enc.encrypt_data(b"x")
+
+
+def test_fernet_wrong_password_fails():
+    from cryptography.fernet import InvalidToken
+
+    blob = Encryptor("right").encrypt_data(b"data")
+    with pytest.raises(InvalidToken):
+        Encryptor("wrong").decrypt_data(blob)
+
+
+def test_reference_file_format_shape():
+    """salt(16) ‖ Fernet token — the exact on-disk layout of
+    modules/encryption.py:30-35."""
+    import base64
+
+    blob = Encryptor("pw").encrypt_data(b"payload")
+    salt, token = blob[:16], blob[16:]
+    assert len(salt) == 16
+    # Fernet tokens are urlsafe-base64 and start with version 0x80
+    raw = base64.urlsafe_b64decode(token)
+    assert raw[0] == 0x80
+
+
+# ----------------------------------------------------------------- store ---
+
+def test_store_roundtrip(tmp_path, rng):
+    db = tmp_path / "faces.db"
+    s = FaceStore(str(db), embedding_dim=32)
+    e1, e2 = _emb(rng), _emb(rng)
+    id1 = s.add("alice", e1)
+    id2 = s.add("bob", e2)
+    assert id2 == id1 + 1
+    rows = s.load_all()
+    assert [r[1] for r in rows] == ["alice", "bob"]
+    np.testing.assert_allclose(s.get_embedding(id1), e1, atol=1e-6)
+    s.update_label(id1, "alicia")
+    assert s.load_all()[0][1] == "alicia"
+    s.save()
+    # reopen from disk
+    s2 = FaceStore(str(db), embedding_dim=32)
+    assert s2.count() == 2
+
+
+def test_store_encrypted_roundtrip(tmp_path, rng):
+    enc = Encryptor("pw")
+    path = tmp_path / "faces.db.enc"
+    s = FaceStore(None, str(path), enc, embedding_dim=16)
+    s.add("carol", _emb(rng, 16))
+    s.save()
+    assert path.exists()
+    # ciphertext on disk, decryptable reopen
+    s2 = FaceStore(None, str(path), enc, embedding_dim=16)
+    rows = s2.load_all()
+    assert len(rows) == 1 and rows[0][1] == "carol"
+    # wrong password → empty DB, no crash (database.py:44-46)
+    s3 = FaceStore(None, str(path), Encryptor("nope"), embedding_dim=16)
+    assert s3.count() == 0
+
+
+# ----------------------------------------------------------------- index ---
+
+def test_gallery_add_query(rng):
+    g = DeviceGallery(embedding_dim=32, capacity=1000)
+    embs = [_emb(rng) for _ in range(10)]
+    for i, e in enumerate(embs):
+        assert g.add(e, f"person{i}", db_id=100 + i)
+    assert g.count == 10
+    ids, dists = g.query(embs[7], k=1)
+    assert ids[0][0] == 7
+    assert dists[0][0] < 1e-2  # cosine distance ≈ 0 for itself
+    assert g.labels[ids[0][0]] == "person7"
+
+
+def test_gallery_query_empty():
+    g = DeviceGallery(embedding_dim=8)
+    assert g.query(np.ones(8, np.float32)) == (None, None)
+
+
+def test_gallery_persistence_roundtrip(tmp_path, rng):
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    for i in range(5):
+        g.add(_emb(rng, 16), f"p{i}", i)
+    g.save()
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.count == 5
+    assert g2.labels == [f"p{i}" for i in range(5)]
+    assert g2.db_ids == list(range(5))
+
+
+def test_gallery_encrypted_persistence(tmp_path, rng):
+    enc = Encryptor("pw")
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, encryptor=enc, capacity=100)
+    g.add(_emb(rng, 16), "dave", 1)
+    g.save()
+    g2 = DeviceGallery(16, *paths, encryptor=enc, capacity=100)
+    assert g2.labels == ["dave"]
+
+
+def test_gallery_corrupt_index_reinitializes(tmp_path, rng):
+    """hnsw_manager.py:69-76 recovery semantics: garbage file → fresh
+    empty gallery (caller then rebuilds from SQLite)."""
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    for p in paths:
+        with open(p, "wb") as f:
+            f.write(b"not a real index")
+    g = DeviceGallery(16, *paths, capacity=100)
+    assert g.count == 0
+
+
+def test_gallery_hydrate_from_store(tmp_path, rng):
+    db = tmp_path / "f.db"
+    s = FaceStore(str(db), embedding_dim=16)
+    for i in range(4):
+        s.add(f"u{i}", _emb(rng, 16) * 3.0)  # unnormalized on purpose
+    g = DeviceGallery(16, capacity=100)
+    g.load_rows(s.load_all())
+    assert g.count == 4
+    # rows were renormalized on load (hnsw_manager.py:122-126)
+    ids, dists = g.query(s.get_embedding(1), k=1)
+    assert g.db_ids[ids[0][0]] == 1
+
+
+def test_gallery_capacity_cap(rng):
+    g = DeviceGallery(8, capacity=3)
+    for i in range(3):
+        assert g.add(_emb(rng, 8), f"x{i}", i)
+    assert not g.add(_emb(rng, 8), "overflow", 99)
+    assert g.count == 3
+
+
+def test_update_label_unifies_group(tmp_path, rng):
+    """Group relabel + conflict refusal (hnsw_manager.py:151-199)."""
+    db = tmp_path / "f.db"
+    s = FaceStore(str(db), embedding_dim=16)
+    g = DeviceGallery(16, capacity=100)
+    base = _emb(rng, 16)
+    # three near-duplicates labelled unknown + one far entry
+    for i in range(3):
+        v = base + 0.05 * rng.standard_normal(16).astype(np.float32)
+        v /= np.linalg.norm(v)
+        did = s.add(f"Unknown_{i}", v)
+        g.add(v, f"Unknown_{i}", did)
+    far = _emb(rng, 16)
+    did = s.add("eve", far)
+    g.add(far, "eve", did)
+
+    g.update_label(0, "frank", s, similarity_threshold=0.7)
+    assert g.labels[:3] == ["frank", "frank", "frank"]
+    assert g.labels[3] == "eve"
+    assert [r[1] for r in s.load_all()[:3]] == ["frank", "frank", "frank"]
+
+
+def test_update_label_conflict_refusal(tmp_path, rng):
+    db = tmp_path / "f.db"
+    s = FaceStore(str(db), embedding_dim=16)
+    g = DeviceGallery(16, capacity=100)
+    base = _emb(rng, 16)
+    for name in ("alice", "bob"):  # two distinct KNOWN labels, similar
+        v = base + 0.02 * rng.standard_normal(16).astype(np.float32)
+        v /= np.linalg.norm(v)
+        did = s.add(name, v)
+        g.add(v, name, did)
+    g.update_label(0, "carol", s, similarity_threshold=0.5)
+    # conflict → only the requested entry renamed
+    assert g.labels == ["carol", "bob"]
