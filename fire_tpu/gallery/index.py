@@ -165,7 +165,7 @@ class DeviceGallery:
         n = np.linalg.norm(vec)
         if n > 0:
             vec = vec / n
-        self._gal = _set_row(self._gal, jnp.asarray(self.count), jnp.asarray(vec))
+        self._gal = _set_row(self._gal, self.count, jax.device_put(vec))
         self.labels.append(label)
         self.db_ids.append(int(db_id))
         return True
@@ -211,7 +211,7 @@ class DeviceGallery:
         if self.count == 0:
             return None, None
         q = np.asarray(embedding, np.float32).reshape(1, -1)
-        sims, idx = _query(self._gal, jnp.asarray(q), jnp.asarray(self.count), min(k, self.count))
+        sims, idx = _query(self._gal, jax.device_put(q), self.count, min(k, self.count))
         return np.asarray(idx), 1.0 - np.asarray(sims)
 
     def query_batch(self, embeddings: np.ndarray, k: int = 1):
@@ -220,7 +220,7 @@ class DeviceGallery:
         if self.count == 0:
             return None, None
         q = np.asarray(embeddings, np.float32)
-        sims, idx = _query(self._gal, jnp.asarray(q), jnp.asarray(self.count), min(k, self.count))
+        sims, idx = _query(self._gal, jax.device_put(q), self.count, min(k, self.count))
         return np.asarray(idx), 1.0 - np.asarray(sims)
 
     def find_similar(self, embedding: np.ndarray, threshold: float, k: int = 50) -> List[int]:

@@ -82,6 +82,11 @@ def _materialize(shape_tree, seed: int):
     return out
 
 
+def _dev(x):
+    """Host array → device array (no-op for jax.Arrays)."""
+    return jax.device_put(x) if isinstance(x, np.ndarray) else x
+
+
 def _buckets(n: int, cap: int) -> int:
     """Round n up to the next power-of-two bucket (≤ cap)."""
     b = 1
@@ -219,7 +224,9 @@ class DeviceEngine:
         if fn is None:
             fn = self._build_detect(hw)
             self._detect_jit_cache[hw] = fn
-        return fn(self.det_vars, jnp.asarray(frame_bgr))
+        # all-device args keep the C++ jit fast path; eager
+        # jnp.asarray would cost ~130ms here, jax.device_put ~4ms
+        return fn(self.det_vars, _dev(frame_bgr))
 
     def detect_faces(self, frame_bgr: np.ndarray):
         """Reference list-of-dicts contract (yunet_face_detector.py:49-58)."""
@@ -282,7 +289,9 @@ class DeviceEngine:
         padded = np.zeros((bucket, 4), np.float32)
         padded[:k] = boxes_xywh
         fn = self._encode_boxes_jit(frame_bgr.shape[:2], bucket)
-        emb = fn(self.enc_vars, jnp.asarray(frame_bgr), jnp.asarray(padded))
+        # all-device args keep the C++ jit fast path (a single numpy arg
+        # forces the Python dispatch path, which walks every param leaf)
+        emb = fn(self.enc_vars, _dev(frame_bgr), _dev(padded))
         return np.asarray(emb)[:k]
 
     def encode_faces(self, faces_rgb01: np.ndarray) -> np.ndarray:
@@ -294,7 +303,7 @@ class DeviceEngine:
         bucket = _buckets(b, max(self.cfg.engine.max_encode, b))
         padded = np.zeros((bucket, *faces_rgb01.shape[1:]), np.float32)
         padded[:b] = faces_rgb01
-        emb = self._encode_batch(self.enc_vars, jnp.asarray(padded))
+        emb = self._encode_batch(self.enc_vars, _dev(padded))
         return np.asarray(emb)[:b]
 
     # -- extraction (detect + align) --------------------------------------
@@ -308,12 +317,12 @@ class DeviceEngine:
         idx = np.nonzero(mask)[0]
         if idx.size == 0:
             return []
-        img01 = jnp.asarray(image_bgr).astype(jnp.float32) / 255.0
+        image01 = np.asarray(image_bgr, np.float32) / 255.0
         if align:
-            lms3 = jnp.asarray(np.asarray(d.landmarks3)[idx])
-            crops = align_faces_160(img01, lms3)
+            lms3 = np.asarray(d.landmarks3)[idx]
+            crops = align_faces_160(image01, lms3)
         else:
-            boxes = jnp.asarray(np.asarray(d.boxes_xywh)[idx])
-            crops = crop_and_resize(img01, boxes, self.cfg.engine.encode_size)
+            boxes = np.asarray(d.boxes_xywh)[idx]
+            crops = crop_and_resize(image01, boxes, self.cfg.engine.encode_size)
         crops = np.asarray(bgr_to_rgb(crops))
         return [c for c in crops]

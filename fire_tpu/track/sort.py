@@ -256,8 +256,9 @@ class Sort:
             det_boxes[i] = np.asarray(det["bbox"], np.float32)
             det_mask[i] = True
 
-        jb = jnp.asarray(det_boxes)
-        jm = jnp.asarray(det_mask)
+        # device-resident args keep the C++ jit fast path
+        jb = jax.device_put(det_boxes)
+        jm = jax.device_put(det_mask)
         if cfg.assignment == "greedy":
             self.table, out = sort_step(self.table, jb, jm, cfg)
         else:
@@ -267,7 +268,9 @@ class Sort:
             match = assign.hungarian_assign(
                 np.asarray(cost), det_mask, np.asarray(self.table.active), gate
             )
-            self.table, out = apply_assignment(self.table, jb, jm, jnp.asarray(match), cfg)
+            self.table, out = apply_assignment(
+                self.table, jb, jm, jax.device_put(match), cfg
+            )
 
         mask = np.asarray(out.mask)
         tids = np.asarray(out.tid)

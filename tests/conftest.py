@@ -14,8 +14,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import jax  # noqa: E402  (after env setup above)
 
-# 8 virtual CPU devices (JAX 0.9 config; the legacy
-# --xla_force_host_platform_device_count flag no longer takes effect)
+# Force the CPU backend: in this environment the axon TPU plugin wins
+# over the JAX_PLATFORMS env var, so select it via config (and give it
+# 8 virtual devices for the multi-chip sharding tests).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # this CPU backend computes default-precision f32 matmuls at reduced

@@ -71,11 +71,10 @@ def test_sharded_train_step_runs_and_learns(rng):
 
     images = jnp.asarray(rng.random((8, 96, 96, 3)), jnp.float32)
     labels = jnp.asarray(np.arange(8) % 8, jnp.int32)
-    with jax.sharding.use_mesh(mesh):
-        losses = []
-        for _ in range(3):
-            state, loss = step(state, images, labels)
-            losses.append(float(loss))
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, images, labels)
+        losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # memorizes the tiny batch
     assert int(state.step) == 3
