@@ -60,6 +60,15 @@ def _query(gal: jnp.ndarray, queries: jnp.ndarray, count, k: int):
     return cosine_topk(queries, gal, valid, k=k)
 
 
+def _use_pallas() -> bool:
+    """The fused kernel needs a real TPU backend (tests run interpret
+    mode explicitly)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing
+        return False
+
+
 class DeviceGallery:
     """Exact cosine top-k index with HNSWManager-compatible semantics."""
 
@@ -208,19 +217,22 @@ class DeviceGallery:
     def query(self, embedding: np.ndarray, k: int = 1):
         """(ids, cosine distances) like hnswlib knn_query; (None, None)
         when empty (hnsw_manager.py:145-149)."""
-        if self.count == 0:
-            return None, None
-        q = np.asarray(embedding, np.float32).reshape(1, -1)
-        sims, idx = _query(self._gal, jax.device_put(q), self.count, min(k, self.count))
-        return np.asarray(idx), 1.0 - np.asarray(sims)
+        return self.query_batch(np.asarray(embedding, np.float32).reshape(1, -1), k)
 
     def query_batch(self, embeddings: np.ndarray, k: int = 1):
         """Batched variant used by the pipeline (one matmul for all
-        faces of a frame batch)."""
+        faces of a frame batch).  k=1 on TPU uses the fused Pallas
+        kernel (fire_tpu.ops.pallas_topk); everything else the XLA path.
+        """
         if self.count == 0:
             return None, None
-        q = np.asarray(embeddings, np.float32)
-        sims, idx = _query(self._gal, jax.device_put(q), self.count, min(k, self.count))
+        q = jax.device_put(np.asarray(embeddings, np.float32))
+        if k == 1 and _use_pallas():
+            from fire_tpu.ops.pallas_topk import pallas_cosine_top1
+
+            sims, idx = pallas_cosine_top1(q, self._gal, self.count)
+            return np.asarray(idx)[:, None], 1.0 - np.asarray(sims)[:, None]
+        sims, idx = _query(self._gal, q, self.count, min(k, self.count))
         return np.asarray(idx), 1.0 - np.asarray(sims)
 
     def find_similar(self, embedding: np.ndarray, threshold: float, k: int = 50) -> List[int]:

@@ -76,8 +76,9 @@ def pallas_cosine_top1(
     """
     b, d = queries.shape
     n = gallery.shape[0]
-    tile = min(TILE_N, n)
-    assert n % tile == 0, f"gallery rows {n} not a multiple of {tile}"
+    tile = next((t for t in (2048, 1024, 512, 256, 128) if n % t == 0 and t <= n), None)
+    if tile is None:
+        raise ValueError(f"gallery rows {n} must be a multiple of 128")
     grid = n // tile
 
     q = queries.astype(jnp.bfloat16)
