@@ -57,11 +57,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Custom path for the encrypted SQLite database file")
     p.add_argument("--interested_label", type=str, default=None,
                    help="If set, only faces with this label will be recognized/maintained")
+    p.add_argument("--batch_size", type=int, default=0,
+                   help="Video mode: frames per device step (0 = classic per-frame pipeline)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="Write a jax.profiler trace to this directory (view with TensorBoard/Perfetto)")
     return p
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
 
     face_recog = FaceRecognition(
         detector_type=args.detector,
@@ -99,7 +108,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             logging.error("Please provide the path to the input video using --input")
         else:
             face_recog.process_video(
-                video_path=args.input, annotate=args.annotate, save_path=args.save
+                video_path=args.input, annotate=args.annotate, save_path=args.save,
+                batch_size=args.batch_size,
             )
     elif args.mode == "webcam":
         face_recog.process_webcam(
@@ -109,6 +119,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if args.label:
         face_recog.shrink_db_ids()
     face_recog.close()
+
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":

@@ -140,6 +140,7 @@ def decode_blazeface(
     lms = jnp.stack([kps6[:, 0], kps6[:, 1], kps6[:, 2], kps6[:, 3], kps6[:, 3]], axis=1)
 
     keep_idx, keep_mask = fbox.nms(
-        boxes, prob, nms_threshold, max_out=max_faces, score_threshold=conf_threshold
+        boxes, prob, nms_threshold, max_out=max_faces,
+        score_threshold=conf_threshold, pre_top_k=256,
     )
     return pad_detections(fbox.xyxy_to_xywh(boxes), lms, prob, keep_idx, keep_mask)

@@ -190,5 +190,6 @@ def decode_retinaface(
         score_threshold=threshold,
         plus_one=True,
         suppress_equal=True,
+        pre_top_k=256,
     )
     return pad_detections(fbox.xyxy_to_xywh(boxes), lms, scores, keep_idx, keep_mask)

@@ -137,7 +137,8 @@ def decode_yunet(
     scores = jnp.concatenate(all_scores, axis=0)
 
     keep_idx, keep_mask = fbox.nms(
-        boxes, scores, nms_threshold, max_out=max_faces, score_threshold=conf_threshold
+        boxes, scores, nms_threshold, max_out=max_faces,
+        score_threshold=conf_threshold, pre_top_k=256,
     )
     dets = pad_detections(fbox.xyxy_to_xywh(boxes) / scale, lms / scale, scores, keep_idx, keep_mask)
     return dets

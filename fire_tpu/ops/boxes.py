@@ -54,7 +54,7 @@ def iou_matrix_xywh(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid_a & valid_b, m, 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_out", "plus_one", "suppress_equal"))
+@partial(jax.jit, static_argnames=("max_out", "plus_one", "suppress_equal", "pre_top_k"))
 def nms(
     boxes_xyxy: jnp.ndarray,
     scores: jnp.ndarray,
@@ -63,6 +63,7 @@ def nms(
     score_threshold: float = 0.0,
     plus_one: bool = False,
     suppress_equal: bool = False,
+    pre_top_k: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS over a fixed candidate set.
 
@@ -71,10 +72,25 @@ def nms(
         at/below ``score_threshold``.
       suppress_equal: suppress at IoU == threshold too (`>=`, matching
         processing/postprocess.py:276); default strict `>`.
+      pre_top_k: if >0 and N > pre_top_k, restrict suppression to the
+        pre_top_k highest-scoring candidates first — the N×N IoU matrix
+        over a dense anchor grid (e.g. 8400² at 640²) dominates detector
+        latency otherwise.  Exact whenever ≤ pre_top_k candidates clear
+        ``score_threshold`` (greedy suppression flows strictly from
+        higher to lower scores).
     Returns:
       ``(keep_idx (max_out,), keep_mask (max_out,))`` — indices of kept
       boxes in score order; masked slots point at index 0.
     """
+    n = boxes_xyxy.shape[0]
+    if pre_top_k and n > pre_top_k:
+        top_scores, top_idx = jax.lax.top_k(scores, pre_top_k)
+        keep_idx, keep_mask = nms(
+            boxes_xyxy[top_idx], top_scores, iou_threshold, max_out,
+            score_threshold, plus_one, suppress_equal, 0,
+        )
+        return top_idx[keep_idx], keep_mask
+
     ious = iou_matrix(boxes_xyxy, boxes_xyxy, plus_one=plus_one)
     live = jnp.where(scores > score_threshold, scores, NEG)
 

@@ -29,6 +29,34 @@ def annotate_faces(
     return out
 
 
+RED = (0, 0, 255)
+
+
+def visualize_detections(
+    image: np.ndarray,
+    faces,
+    box_color=GREEN,
+    landmark_color=RED,
+) -> np.ndarray:
+    """Draw raw detections (bbox + landmarks + confidence) — the
+    ``visualize()`` helper every reference backend exposes
+    (yunet_face_detector.py:60-87, retinaface_face_detector.py:225-254,
+    mediapipe_face_detector.py:78-107)."""
+    out = image.copy()
+    for face in faces:
+        x, y, w, h = [int(v) for v in face["bbox"]]
+        cv2.rectangle(out, (x, y), (x + w, y + h), box_color, 2)
+        lms = face.get("landmarks")
+        if lms is not None:
+            pts = lms.values() if isinstance(lms, dict) else lms
+            for p in pts:
+                cv2.circle(out, (int(p[0]), int(p[1])), 2, landmark_color, 2)
+        if "confidence" in face:
+            cv2.putText(out, f"{face['confidence']:.4f}", (x, y - 10),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, RED, 1)
+    return out
+
+
 def resize_frame_to_screen(
     frame: np.ndarray, screen_wh: Optional[tuple] = None
 ) -> np.ndarray:

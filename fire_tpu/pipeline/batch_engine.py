@@ -1,0 +1,355 @@
+"""Batched device-resident stream pipeline — the maximum-throughput path.
+
+The reference processes one frame at a time with per-face encoder calls
+(SURVEY.md §2.4: zero parallelism).  The orchestrator in
+fire_tpu.pipeline.recognizer keeps that per-frame API; this module is
+the TPU-first redesign for throughput: **B frames per device step**,
+with one host→device transfer (the frame batch) and one device→host
+transfer (a compact result struct) per step:
+
+    detect:   detector CNN + decode + NMS vmapped over the batch
+    encode:   top-K faces of every frame in one FaceNet pass
+    match:    all embeddings against the gallery in one fused query
+    track:    lax.scan over the frames (tracking is a serial recurrence;
+              SURVEY.md §7 "sequential tracker state vs batched frames")
+
+Semantic deltas vs the reference hot loop (deliberate, documented):
+
+* Every detection is encoded (the reference's track-label cache exists
+  to save per-face ONNX calls — face_recognition.py:408-410; on TPU a
+  batch-64 FaceNet pass costs the same ~3ms as batch-4, so skipping
+  encodes buys nothing).  Tracks still keep the FIRST matched gallery
+  identity (tier-1 caching of the *decision* is preserved).
+* The ≤200-entry recent-embedding cache (tier 2) is subsumed by the
+  exact gallery search — it existed to avoid HNSW queries.
+* Unknown enrollment is decided on device (per-track no-match streak ≥
+  unknown_trigger_count) and executed by the host between batches, so a
+  brand-new identity's label can lag its first emission by < B frames.
+
+Tracking numerics (UKF, association, clamps, confirmation) are the
+same jitted sort_step used by the parity-tested Sort class.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fire_tpu.config import RecognizerConfig, TrackerConfig
+from fire_tpu.ops.gallery_match import l2_normalize
+from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize_mm
+from fire_tpu.track.sort import TrackTable, make_table, sort_step
+
+log = logging.getLogger(__name__)
+
+
+class StreamState(NamedTuple):
+    """Device-resident tracker + identity state."""
+
+    table: TrackTable
+    gid: jnp.ndarray       # (T,) int32 gallery row per track; -1 = none yet
+    sim: jnp.ndarray       # (T,) f32 similarity at assignment time
+    unk: jnp.ndarray       # (T,) int32 consecutive no-match sightings
+    pending: jnp.ndarray   # (T,) bool — enrollment flagged, host not yet applied
+    last_emb: jnp.ndarray  # (T, D) f32 last embedding per track
+
+
+MAX_ENROLL = 8  # enrollment candidates surfaced to the host per batch
+
+
+class BatchResults(NamedTuple):
+    """Per-batch results (leading axis = frame).  On device these are
+    packed into ONE flat f32 buffer before readback — each device→host
+    transfer costs ~30 ms of latency on the tunnelled platform, so one
+    readback per batch is a hard design rule here.
+
+    Embeddings are NOT shipped per track: only up to MAX_ENROLL
+    enrollment candidates (track crossed the unknown trigger) carry
+    their embedding to the host.
+    """
+
+    tid: jnp.ndarray           # (B, T) int32
+    boxes: jnp.ndarray         # (B, T, 4) int32
+    gid: jnp.ndarray           # (B, T) int32 (-1 = unlabelled)
+    sim: jnp.ndarray           # (B, T) f32
+    mask: jnp.ndarray          # (B, T) bool confirmed tracks
+    enroll: jnp.ndarray        # (B, T) bool — crossed the unknown trigger
+    enroll_emb: jnp.ndarray    # (MAX_ENROLL, D) f32
+    enroll_frame: jnp.ndarray  # (MAX_ENROLL,) int32 (-1 = empty slot)
+    enroll_slot: jnp.ndarray   # (MAX_ENROLL,) int32
+
+
+def make_stream_state(tcfg: TrackerConfig, dim: int) -> StreamState:
+    t = tcfg.max_tracks
+    return StreamState(
+        table=make_table(tcfg),
+        gid=jnp.full((t,), -1, jnp.int32),
+        sim=jnp.zeros((t,), jnp.float32),
+        unk=jnp.zeros((t,), jnp.int32),
+        pending=jnp.zeros((t,), bool),
+        last_emb=jnp.zeros((t, dim), jnp.float32),
+    )
+
+
+def _track_scan(
+    state: StreamState,
+    det_boxes: jnp.ndarray,   # (B, K, 4)
+    det_mask: jnp.ndarray,    # (B, K)
+    det_gid: jnp.ndarray,     # (B, K) best gallery row per detection
+    det_sim: jnp.ndarray,     # (B, K)
+    det_emb: jnp.ndarray,     # (B, K, D)
+    tcfg: TrackerConfig,
+    similarity_threshold: float,
+    unknown_trigger: int,
+) -> Tuple[StreamState, BatchResults]:
+    """Serial tracking over the frame batch with identity bookkeeping."""
+
+    t_cap = state.table.x.shape[0]
+
+    def step(carry: StreamState, frame):
+        boxes, mask, gids, sims, embs = frame
+        table, out = sort_step(carry.table, boxes, mask, tcfg)
+
+        # exact provenance from the tracker: detection that updated or
+        # spawned each track this frame (TrackOutputs.src_det)
+        has_det = (out.src_det >= 0) & table.active
+        det_for_track = jnp.clip(out.src_det, 0, boxes.shape[0] - 1)
+
+        tgid = jnp.where(has_det, gids[det_for_track], -1)
+        tsim = jnp.where(has_det, sims[det_for_track], 0.0)
+        temb = jnp.where(has_det[:, None], embs[det_for_track], carry.last_emb)
+
+        # fresh slots (spawned or recycled) reset identity state
+        fresh = table.tid != carry.table.tid
+        gid = jnp.where(fresh, -1, carry.gid)
+        sim = jnp.where(fresh, 0.0, carry.sim)
+        unk = jnp.where(fresh, 0, carry.unk)
+        pending = jnp.where(fresh, False, carry.pending)
+
+        matched_now = has_det & (tsim > similarity_threshold)
+        # tier-1 semantics: keep the first assigned identity
+        take = matched_now & (gid < 0)
+        gid = jnp.where(take, tgid, gid)
+        sim = jnp.where(take, tsim, sim)
+        pending = pending & (gid < 0)  # identity arrived → clear
+
+        # unknown streak: CONFIRMED sightings with an embedding but no
+        # identity (the reference accumulates unknowns only for emitted
+        # tracks, face_recognition.py:404-473); flag enrollment ONCE per
+        # track until the host resolves it
+        sighted = has_det & (gid < 0) & out.mask
+        unk = jnp.where(sighted, unk + 1, unk)
+        enroll = sighted & (unk >= unknown_trigger) & ~pending
+        pending = pending | enroll
+
+        new_state = StreamState(table=table, gid=gid, sim=sim, unk=unk,
+                                pending=pending, last_emb=temb)
+        res = (
+            out.tid,
+            out.boxes,
+            gid,
+            jnp.where(gid >= 0, sim, 0.0),
+            out.mask,
+            enroll & out.mask,
+            temb,
+        )
+        return new_state, res
+
+    state, (tid, boxes, gid, sim, mask, enroll, emb) = jax.lax.scan(
+        step, state, (det_boxes, det_mask, det_gid, det_sim, det_emb)
+    )
+
+    # compact the (rare) enrollment candidates to a fixed-size buffer
+    b = tid.shape[0]
+    flat_enroll = enroll.reshape(-1)
+    _, top = jax.lax.top_k(flat_enroll.astype(jnp.int32), MAX_ENROLL)
+    valid = flat_enroll[top]
+    e_frame = jnp.where(valid, (top // t_cap).astype(jnp.int32), -1)
+    e_slot = (top % t_cap).astype(jnp.int32)
+    e_emb = emb.reshape(b * t_cap, -1)[top] * valid[:, None]
+    return state, BatchResults(
+        tid, boxes, gid, sim, mask, enroll, e_emb, e_frame, e_slot
+    )
+
+
+def pack_results(res: BatchResults) -> jnp.ndarray:
+    """Flatten a BatchResults into one f32 vector (single D2H)."""
+    parts = [jnp.ravel(x).astype(jnp.float32) for x in res]
+    return jnp.concatenate(parts)
+
+
+def unpack_results(buf: np.ndarray, b: int, t: int, d: int) -> BatchResults:
+    """Host-side inverse of :func:`pack_results`."""
+    sizes = [b * t, b * t * 4, b * t, b * t, b * t, b * t,
+             MAX_ENROLL * d, MAX_ENROLL, MAX_ENROLL]
+    shapes = [(b, t), (b, t, 4), (b, t), (b, t), (b, t), (b, t),
+              (MAX_ENROLL, d), (MAX_ENROLL,), (MAX_ENROLL,)]
+    dtypes = [np.int32, np.int32, np.int32, np.float32, bool, bool,
+              np.float32, np.int32, np.int32]
+    out, off = [], 0
+    for n, shp, dt in zip(sizes, shapes, dtypes):
+        out.append(buf[off : off + n].reshape(shp).astype(dt))
+        off += n
+    return BatchResults(*out)
+
+
+class BatchStreamEngine:
+    """Runs the batched pipeline; owns the jitted step per frame shape."""
+
+    def __init__(self, engine, gallery, cfg: RecognizerConfig,
+                 tracker_cfg: Optional[TrackerConfig] = None,
+                 encode_k: int = 8):
+        self.engine = engine          # DeviceEngine (models + jits)
+        self.gallery = gallery        # DeviceGallery
+        self.cfg = cfg
+        self.tcfg = (tracker_cfg or TrackerConfig())
+        self.encode_k = encode_k
+        self.state = make_stream_state(self.tcfg, cfg.embedding_dim)
+        self._step_cache = {}
+
+    def reset(self):
+        self.state = make_stream_state(self.tcfg, self.cfg.embedding_dim)
+
+    def _build_step(self, frame_hw, batch: int):
+        cfg, tcfg, k_enc = self.cfg, self.tcfg, self.encode_k
+        eng = self.engine
+        detector_fn = eng._build_detect(frame_hw).__wrapped__  # unjitted body
+        thr = cfg.similarity_threshold
+        trig = cfg.unknown_trigger_count
+        size = cfg.engine.encode_size
+
+        t_cap = self.tcfg.max_tracks
+        dim = cfg.embedding_dim
+
+        def step(det_vars, enc_vars, gal, count, state, frames_u8):
+            # ---- detect (vmapped over frames)
+            dets = jax.vmap(lambda f: detector_fn(det_vars, f))(frames_u8)
+            # keep top-k_enc detections per frame for encoding/tracking
+            order = jnp.argsort(-jnp.where(dets.mask, dets.scores, -1.0), axis=1)
+            pick = order[:, :k_enc]                               # (B, K)
+            boxes = jnp.take_along_axis(dets.boxes_xywh, pick[..., None], axis=1)
+            mask = jnp.take_along_axis(dets.mask, pick, axis=1)
+
+            # ---- encode every picked face in one FaceNet pass
+            imgs01 = frames_u8.astype(jnp.float32) / 255.0
+            crops = jax.vmap(lambda img, b: crop_and_resize_mm(img, b, size))(imgs01, boxes)
+            flat = bgr_to_rgb(crops).reshape((-1, *size, 3))
+            emb = eng.encoder.apply(enc_vars, flat)
+            emb = l2_normalize(emb).reshape(batch, k_enc, -1)
+            emb = emb * mask[..., None]
+
+            # ---- match all embeddings in one gallery pass
+            from fire_tpu.ops.gallery_match import cosine_topk
+
+            valid = jnp.arange(gal.shape[0]) < count
+            sims, idx = cosine_topk(emb.reshape(batch * k_enc, -1), gal, valid, k=1)
+            det_gid = idx.reshape(batch, k_enc)
+            det_sim = sims.reshape(batch, k_enc)
+
+            # ---- serial tracking over the batch
+            new_state, res = _track_scan(
+                state, boxes.astype(jnp.float32), mask, det_gid, det_sim, emb,
+                tcfg, thr, trig,
+            )
+            return new_state, pack_results(res)
+
+        return jax.jit(step)
+
+    def submit(self, frames: np.ndarray):
+        """Dispatch one batch asynchronously; returns an opaque token.
+
+        Submitting batch i+1 before collecting batch i overlaps its
+        compute and the frame H2D with batch i's readback — the device
+        queue provides the double buffering.
+        """
+        b, h, w = frames.shape[:3]
+        key = (h, w, b)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = self._build_step((h, w), b)
+            self._step_cache[key] = fn
+        frames_dev = jax.device_put(frames) if isinstance(frames, np.ndarray) else frames
+        self.state, packed = fn(
+            self.engine.det_vars,
+            self.engine.enc_vars,
+            self.gallery._gal,
+            self.gallery.count,
+            self.state,
+            frames_dev,
+        )
+        return (packed, b)
+
+    def collect(self, token) -> BatchResults:
+        """Block on one submitted batch and unpack its results."""
+        packed, b = token
+        return unpack_results(
+            np.asarray(packed), b, self.tcfg.max_tracks, self.cfg.embedding_dim
+        )
+
+    def process_batch(self, frames: np.ndarray) -> BatchResults:
+        """Synchronous convenience wrapper (submit + collect)."""
+        return self.collect(self.submit(frames))
+
+
+def stream_results(
+    recognizer,
+    batch_results: BatchResults,
+    rename_label: Optional[str] = None,
+):
+    """Host-side interpretation of one BatchResults: label lookup,
+    unknown enrollment (dedup + SQLite + gallery append), rename and
+    interested_label semantics — mirrors face_recognition.py:459-486 at
+    batch granularity.
+
+    Yields one ``[{'label','confidence','bbox'}, ...]`` list per frame.
+    """
+    res = batch_results
+    b = res.tid.shape[0]
+    gal = recognizer.gallery
+    enroll_embs = {
+        (int(fr), int(sl)): res.enroll_emb[i]
+        for i, (fr, sl) in enumerate(zip(res.enroll_frame, res.enroll_slot))
+        if fr >= 0
+    }
+    enrolled_labels = {}  # tid -> label assigned this batch
+    for f in range(b):
+        frame_out = []
+        for slot in np.nonzero(res.mask[f])[0]:
+            gid = int(res.gid[f, slot])
+            tid = int(res.tid[f, slot])
+            if gid >= 0 and gid < gal.count:
+                label = gal.labels[gid]
+                conf = float(res.sim[f, slot])
+                if rename_label and label != rename_label:
+                    recognizer.update_label(gid, rename_label)
+                    label = rename_label
+            elif tid in enrolled_labels:
+                label, conf = enrolled_labels[tid], 1.0
+            elif res.enroll[f, slot] and (f, int(slot)) in enroll_embs:
+                emb = enroll_embs[(f, int(slot))]
+                n = np.linalg.norm(emb)
+                if n == 0:
+                    continue
+                label = recognizer.enroll_unknown_now(emb / n, rename_label)
+                enrolled_labels[tid] = label
+                conf = 1.0
+            else:
+                label, conf = "Unknown", 0.0
+            if (
+                recognizer.interested_label is not None
+                and label != recognizer.interested_label
+            ):
+                continue
+            frame_out.append(
+                {
+                    "label": label,
+                    "confidence": conf,
+                    "bbox": [int(v) for v in res.boxes[f, slot]],
+                }
+            )
+        yield frame_out

@@ -46,7 +46,7 @@ from fire_tpu.models.retinaface import RetinaFace, decode_retinaface
 from fire_tpu.models.yunet import YuNet, decode_yunet
 from fire_tpu.ops.affine import align_faces_160
 from fire_tpu.ops.gallery_match import l2_normalize
-from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize, letterbox
+from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize, crop_and_resize_mm, letterbox
 
 log = logging.getLogger(__name__)
 
@@ -262,7 +262,7 @@ class DeviceEngine:
 
             def run(enc_vars, frame_u8, boxes):
                 img = frame_u8.astype(jnp.float32) / 255.0
-                crops = crop_and_resize(img, boxes, size)  # BGR
+                crops = crop_and_resize_mm(img, boxes, size)  # BGR, MXU resampling
                 emb = self.encoder.apply(enc_vars, bgr_to_rgb(crops))
                 return l2_normalize(emb)
 

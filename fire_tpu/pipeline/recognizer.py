@@ -194,6 +194,13 @@ class FaceRecognition:
 
         self.face_tracker = Sort(tracker_cfg or TrackerConfig())
         self.timer = StageTimer()
+        # observability counters (SURVEY.md §5 metrics note: faces/frame,
+        # cache-hit tier, gallery size)
+        self.counters = {
+            "faces_detected": 0, "tier1_track_cache": 0,
+            "tier2_recent_cache": 0, "tier3_gallery": 0,
+            "unknown_enrolled": 0,
+        }
 
     # ------------------------------------------------------------- buffers --
 
@@ -348,6 +355,24 @@ class FaceRecognition:
 
     # ----------------------------------------------------------- hot path --
 
+    def enroll_unknown_now(self, emb: np.ndarray, rename_label: Optional[str] = None) -> str:
+        """Immediate enrollment for the batched pipeline, where the
+        unknown-trigger accumulation already happened on device
+        (fire_tpu.pipeline.batch_engine): dedup against the gallery,
+        then enroll under ``rename_label`` or a fresh Unknown_* label."""
+        if rename_label:
+            self._enroll_now(rename_label, emb)
+            self.gallery.save()
+            return rename_label
+        if self.gallery.count > 0:
+            ids, dists = self.gallery.query(emb, k=1)
+            if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
+                return self.gallery.labels[int(ids[0][0])]
+        label = self._generate_unique_label()
+        self._enroll_now(label, emb)
+        self.gallery.save()
+        return label
+
     def recognize_faces(self, image: np.ndarray, rename_label: Optional[str] = None):
         """Per-frame recognition (face_recognition.py:371-489) with all
         per-frame encoding batched into one device call."""
@@ -367,6 +392,7 @@ class FaceRecognition:
             t0 = time.time()
             detected = self.detect_faces(image_dev)
             self.timer.add("detection", time.time() - t0)
+            self.counters["faces_detected"] += len(detected)
             formatted = [
                 {"bbox": d.get("bbox", [0, 0, 0, 0]), "confidence": d.get("confidence", 1.0)}
                 for d in detected
@@ -420,6 +446,7 @@ class FaceRecognition:
             if tid in self.track_id_to_label:
                 label = self.track_id_to_label[tid]
                 confidence = 1.0
+                self.counters["tier1_track_cache"] += 1
             elif tid in embs:
                 emb, gal_gid, gal_sim = embs[tid]
                 if np.linalg.norm(emb) == 0:
@@ -433,17 +460,21 @@ class FaceRecognition:
                     if sims[mi] > self.similarity_threshold:
                         label = self.recent_labels[mi]
                         confidence = float(sims[mi])
+                        self.counters["tier2_recent_cache"] += 1
                 # tier 3: gallery (face_recognition.py:459-469)
                 if label == "Unknown" and gal_gid is not None:
                     if gal_sim > self.similarity_threshold:
                         label = self.gallery.labels[gal_gid]
                         confidence = gal_sim
+                        self.counters["tier3_gallery"] += 1
                         if rename_label:
                             self.update_label(gal_gid, rename_label)
                             label = rename_label
                 if label == "Unknown":
                     label = self._handle_unknown_embedding(tid, emb, rename_label)
                     confidence = 1.0
+                    if label != "Unknown":
+                        self.counters["unknown_enrolled"] += 1
                 self.track_id_to_label[tid] = label
                 self._add_to_recent(emb, label)
             else:
@@ -651,12 +682,79 @@ class FaceRecognition:
             if self.show:
                 cv2.destroyAllWindows()
 
-    def process_video(self, video_path: str, annotate: bool = True, save_path: Optional[str] = None) -> None:
+    def process_video(
+        self,
+        video_path: str,
+        annotate: bool = True,
+        save_path: Optional[str] = None,
+        batch_size: int = 0,
+    ) -> None:
+        """``batch_size > 0`` selects the batched device-resident
+        pipeline (fire_tpu.pipeline.batch_engine) — B frames per device
+        step, the maximum-throughput path."""
         cap = cv2.VideoCapture(video_path)
         if not cap.isOpened():
             log.error("Cannot open video file: %s", video_path)
             return
-        self._process_stream(cap, annotate, save_path, stream_type="video")
+        if batch_size > 0:
+            self._process_stream_batched(cap, annotate, save_path, batch_size)
+        else:
+            self._process_stream(cap, annotate, save_path, stream_type="video")
+
+    def _process_stream_batched(
+        self, cap, annotate: bool, save_path: Optional[str], batch_size: int
+    ) -> None:
+        from fire_tpu.pipeline.batch_engine import BatchStreamEngine, stream_results
+
+        bse = BatchStreamEngine(self.engine, self.gallery, self.cfg)
+        out = None
+        if save_path:
+            _ensure_parent_dir(save_path)
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30
+            wh = (
+                int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            )
+            out = cv2.VideoWriter(save_path, cv2.VideoWriter_fourcc(*"XVID"), fps, wh)
+        self.timer = StageTimer()
+        self.timer.start()
+        reader = PrefetchReader(cap)
+        batch = []
+        try:
+            def flush(batch):
+                frames = np.stack(batch)
+                res = bse.process_batch(frames)
+                for frame, faces in zip(batch, stream_results(self, res)):
+                    self.timer.tick_frame()
+                    if out is not None:
+                        out.write(
+                            annotate_faces(frame, faces, with_confidence=True)
+                            if annotate else frame
+                        )
+
+            for frame in reader.frames():
+                batch.append(frame)
+                if len(batch) == batch_size:
+                    flush(batch)
+                    batch = []
+            if batch:
+                # tail: pad by repeating the last frame; drop pad outputs
+                pad = batch + [batch[-1]] * (batch_size - len(batch))
+                frames = np.stack(pad)
+                res = bse.process_batch(frames)
+                for frame, faces in list(zip(batch, stream_results(self, res)))[: len(batch)]:
+                    self.timer.tick_frame()
+                    if out is not None:
+                        out.write(
+                            annotate_faces(frame, faces, with_confidence=True)
+                            if annotate else frame
+                        )
+        finally:
+            reader.close()
+            cap.release()
+            if out is not None:
+                out.release()
+                log.info("Annotated video saved to %s", save_path)
 
     def process_webcam(
         self, annotate: bool = True, save_path: Optional[str] = None,
@@ -681,3 +779,7 @@ class FaceRecognition:
             log.error("Error closing FaceRecognition system: %s", e)
         if self.enable_logging:
             self.timer.log_stream_report()
+            log.info(
+                "Counters: %s; gallery size: %d",
+                self.counters, self.gallery.count,
+            )

@@ -54,10 +54,11 @@ class TrackTable(NamedTuple):
 class TrackOutputs(NamedTuple):
     """Padded per-frame confirmed tracks."""
 
-    tid: jnp.ndarray    # (T,) int32
-    boxes: jnp.ndarray  # (T, 4) int32 xywh (truncated like int(), sort_UKF.py:281-284)
-    age: jnp.ndarray    # (T,) int32
-    mask: jnp.ndarray   # (T,) bool — confirmed & active
+    tid: jnp.ndarray      # (T,) int32
+    boxes: jnp.ndarray    # (T, 4) int32 xywh (truncated like int(), sort_UKF.py:281-284)
+    age: jnp.ndarray      # (T,) int32
+    mask: jnp.ndarray     # (T,) bool — confirmed & active
+    src_det: jnp.ndarray  # (T,) int32 — detection that updated/spawned the track this frame, else -1
 
 
 def make_table(cfg: TrackerConfig) -> TrackTable:
@@ -208,7 +209,13 @@ def apply_assignment(
     # ---- emit confirmed tracks (sort_UKF.py:374-383)
     confirmed = active & (hits >= cfg.min_hits)
     boxes = _state_to_box(x, cfg).astype(jnp.int32)
-    out = TrackOutputs(tid=tid, boxes=boxes, age=age, mask=confirmed)
+    # provenance: which detection fed each track this frame
+    src_det = jnp.where(matched, safe_match, -1)
+    det_ids = jnp.arange(d_cap, dtype=jnp.int32)
+    src_det = src_det.at[spawn_slot].set(
+        jnp.where(can_spawn, det_ids, -1), mode="drop"
+    )
+    out = TrackOutputs(tid=tid, boxes=boxes, age=age, mask=confirmed, src_det=src_det)
     return table, out
 
 

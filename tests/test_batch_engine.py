@@ -1,0 +1,181 @@
+"""Batched device-resident stream pipeline tests.
+
+Uses a jit-compatible fake detector (boxes encoded in frame row 0) and
+a deterministic fake encoder (mean intensity → one-hot embedding), so
+device control flow (vmapped detect, scanned tracking, fused matching,
+enrollment flags) is exercised end-to-end on the 8-device CPU backend
+without heavyweight CNNs.
+"""
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fire_tpu.config import RecognizerConfig, TrackerConfig
+from fire_tpu.models.detections import Detections
+from fire_tpu.pipeline.batch_engine import BatchStreamEngine, make_stream_state
+from fire_tpu.gallery.index import DeviceGallery
+
+DIM = 128
+MAXF = 8
+
+
+def _fake_engine():
+    """Detect: row 0 of the frame encodes [n, x,y,w,h, ...] (÷1 ints).
+    Encode: crop mean intensity m → one-hot(round(m*255/10))."""
+
+    def build_detect(frame_hw):
+        def body(det_vars, frame):
+            row = frame[0, :, 0].astype(jnp.float32)
+            n = row[0].astype(jnp.int32)
+            idx = jnp.arange(MAXF)
+            boxes = jnp.stack(
+                [row[1 + 4 * idx], row[2 + 4 * idx], row[3 + 4 * idx], row[4 + 4 * idx]],
+                axis=-1,
+            )
+            mask = idx < n
+            lms = jnp.zeros((MAXF, 5, 2), jnp.float32)
+            scores = jnp.where(mask, 0.99, 0.0)
+            return Detections(boxes * mask[:, None], lms, scores, mask)
+
+        return jax.jit(body)
+
+    def encoder_apply(enc_vars, x):
+        m = jnp.mean(x, axis=(1, 2, 3))  # crops in [0,1]
+        idx = jnp.clip(jnp.round(m * 255.0 / 10.0).astype(jnp.int32), 0, DIM - 1)
+        return jax.nn.one_hot(idx, DIM, dtype=jnp.float32)
+
+    return SimpleNamespace(
+        _build_detect=build_detect,
+        encoder=SimpleNamespace(apply=encoder_apply),
+        enc_vars={},
+        det_vars={},
+    )
+
+
+def _frame(faces):
+    """faces: list of (box_xywh, identity 1..12).  64×64 uint8 frame."""
+    f = np.zeros((64, 64, 3), np.uint8)
+    f[0, 0, 0] = len(faces)
+    for i, (box, ident) in enumerate(faces):
+        f[0, 1 + 4 * i : 5 + 4 * i, 0] = box
+        x, y, w, h = box
+        f[y : y + h, x : x + w, :] = ident * 10
+    return f
+
+
+@pytest.fixture
+def bse():
+    cfg = RecognizerConfig(
+        similarity_threshold=0.7, unknown_trigger_count=1
+    ).with_embedding_dim()
+    # embedding_dim must match fake encoder
+    object.__setattr__(cfg.gallery, "embedding_dim", DIM)
+    gal = DeviceGallery(DIM, capacity=1000)
+    eng = _fake_engine()
+    b = BatchStreamEngine(eng, gal, cfg, TrackerConfig(), encode_k=MAXF)
+    return b, gal
+
+
+def test_batch_tracks_and_flags_enrollment(bse):
+    b, gal = bse
+    frames = np.stack([_frame([((10 + 2 * i, 20, 16, 16), 3)]) for i in range(8)])
+    res = b.process_batch(frames)
+    # min_hits=4: confirmed from frame index 4 on
+    assert res.mask[:4].sum() == 0
+    assert res.mask[4:].sum() == 4
+    # same track id throughout
+    tids = {int(res.tid[f, s]) for f in range(4, 8) for s in np.nonzero(res.mask[f])[0]}
+    assert len(tids) == 1
+    # no gallery → no match, enrollment flagged on first confirmed sighting
+    assert (res.gid[res.mask] == -1).all()
+    first_confirmed = res.enroll[4]
+    assert first_confirmed.sum() == 1
+    # the enroll candidate buffer carries the embedding for the host
+    assert (res.enroll_frame >= 0).sum() == 1
+    i = int(np.nonzero(res.enroll_frame >= 0)[0][0])
+    assert res.enroll_frame[i] == 4
+    assert np.linalg.norm(res.enroll_emb[i]) > 0
+
+
+def test_batch_matches_after_enrollment(bse):
+    b, gal = bse
+    frames = np.stack([_frame([((10 + 2 * i, 20, 16, 16), 5)]) for i in range(8)])
+    res = b.process_batch(frames)
+    # host enrolls the flagged embedding from the candidate buffer
+    i = int(np.nonzero(res.enroll_frame >= 0)[0][0])
+    emb = res.enroll_emb[i] / np.linalg.norm(res.enroll_emb[i])
+    gal.add(emb, "person5", db_id=1)
+
+    # next batch, same identity (fresh track position): matched to row 0
+    frames2 = np.stack([_frame([((40, 30, 16, 16), 5)]) for i in range(8)])
+    res2 = b.process_batch(frames2)
+    got = res2.gid[res2.mask]
+    assert got.size > 0 and (got == 0).all()
+    assert (res2.sim[res2.mask] > 0.95).all()
+    assert res2.enroll.sum() == 0  # known identity → no enrollment
+
+
+def test_batch_two_identities_disjoint(bse):
+    b, gal = bse
+    e1 = np.zeros(DIM, np.float32); e1[3 * 10 * 255 // 255 // 10 if False else 0] = 0  # noqa
+    frames = np.stack(
+        [_frame([((8, 8, 12, 12), 2), ((40, 40, 12, 12), 7)]) for _ in range(8)]
+    )
+    res = b.process_batch(frames)
+    # two confirmed tracks with distinct embeddings
+    f = 7
+    slots = np.nonzero(res.mask[f])[0]
+    assert len(slots) == 2
+    # two orthogonal identities → exactly two enroll candidates
+    idx = np.nonzero(res.enroll_frame >= 0)[0]
+    assert len(idx) == 2
+    e = res.enroll_emb[idx]
+    assert abs(np.dot(e[0], e[1])) < 0.1  # one-hot → orthogonal
+
+
+def test_stream_results_host_semantics(bse, tmp_path):
+    """stream_results enrolls via the recognizer and labels next batch."""
+    from fire_tpu.pipeline.batch_engine import stream_results
+
+    b, gal = bse
+
+    class Rec:
+        gallery = gal
+        similarity_threshold = 0.7
+        interested_label = None
+
+        def _generate_unique_label(self):
+            import uuid
+
+            return f"Unknown_{uuid.uuid4().hex[:8]}"
+
+        def _enroll_now(self, label, emb):
+            gal.add(emb, label, db_id=len(gal.labels) + 1)
+
+        def enroll_unknown_now(self, emb, rename_label=None):
+            from fire_tpu.pipeline.recognizer import FaceRecognition
+
+            return FaceRecognition.enroll_unknown_now(self, emb, rename_label)
+
+        def update_label(self, gid, label):
+            gal.labels[gid] = label
+
+    rec = Rec()
+    gal.save = lambda: None
+
+    frames = np.stack([_frame([((10, 20, 16, 16), 9)]) for _ in range(8)])
+    res = b.process_batch(frames)
+    outs = list(stream_results(rec, res))
+    assert len(outs) == 8
+    labels = [o[0]["label"] for o in outs if o]
+    assert labels[-1].startswith("Unknown_")
+    assert gal.count == 1
+
+    res2 = b.process_batch(frames)
+    outs2 = list(stream_results(rec, res2))
+    assert all(o[0]["label"] == labels[-1] for o in outs2 if o)
+    assert gal.count == 1  # no duplicate enrollment

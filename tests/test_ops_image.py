@@ -66,3 +66,15 @@ def test_crop_and_resize_degenerate_box_is_finite(rng):
     boxes = np.array([[10, 10, 0, 0]], np.float32)
     out = np.asarray(fimg.crop_and_resize(jnp.asarray(x), jnp.asarray(boxes), (8, 8)))
     assert np.isfinite(out).all()
+
+
+def test_crop_and_resize_mm_matches_gather(rng):
+    from fire_tpu.ops.image import crop_and_resize_mm
+
+    x = rng.random((240, 320, 3)).astype(np.float32)
+    boxes = np.array([[40, 30, 100, 80], [0, 0, 320, 240], [10, 5, 31, 47]], np.float32)
+    ref = np.asarray(fimg.crop_and_resize(jnp.asarray(x), jnp.asarray(boxes), (160, 160)))
+    out = np.asarray(crop_and_resize_mm(jnp.asarray(x), jnp.asarray(boxes), (160, 160)))
+    # bf16 weight products: ~1e-2 agreement with the f32 gather kernel
+    assert np.abs(out - ref).max() < 3e-2
+    assert np.abs(out - ref).mean() < 5e-3
