@@ -103,7 +103,7 @@ def main() -> None:
 
     best = 0.0
     spread = {}
-    for B in (8, 32):
+    for B in (32, 64):
         bse = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg)
         batch_np = np.stack([frames[i % len(frames)] for i in range(B)])
         batch_dev = jax.device_put(batch_np)
@@ -135,6 +135,27 @@ def main() -> None:
         _log(f"B={B} incl. tunnel H2D: {B / (time.time() - t0):.1f} fps")
 
     fps = best
+
+    # reference's frame-skip config (README.md:54: YuNet+512, skipping):
+    # detector/encoder run every 3rd frame, tracker coasts between
+    B = 48
+    bse3 = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg, detection_interval=3)
+    batch_dev = jax.device_put(np.stack([frames[i % len(frames)] for i in range(B)]))
+    jax.block_until_ready(batch_dev)
+    for _ in range(2):
+        list(stream_results(fr, bse3.process_batch(batch_dev)))
+    skip_fps = []
+    for trial in range(3):
+        t0 = time.time()
+        n_steps = 4
+        pending = bse3.submit(batch_dev)
+        for _ in range(n_steps - 1):
+            nxt = bse3.submit(batch_dev)
+            list(stream_results(fr, bse3.collect(pending)))
+            pending = nxt
+        list(stream_results(fr, bse3.collect(pending)))
+        skip_fps.append(n_steps * B / (time.time() - t0))
+    _log(f"frame-skip (interval=3) trial fps: {[round(f,1) for f in skip_fps]}")
 
     print(
         json.dumps(

@@ -203,12 +203,18 @@ class BatchStreamEngine:
 
     def __init__(self, engine, gallery, cfg: RecognizerConfig,
                  tracker_cfg: Optional[TrackerConfig] = None,
-                 encode_k: int = 8):
+                 encode_k: int = 8, detection_interval: int = 1):
+        """``detection_interval`` d>1 runs the detector CNN only on every
+        d-th frame of a batch (frame-skip semantics,
+        face_recognition.py:376-393) — the tracker coasts on UKF
+        prediction between detections and the detector/encoder cost
+        drops by ~d×.  Batch size must be a multiple of d."""
         self.engine = engine          # DeviceEngine (models + jits)
         self.gallery = gallery        # DeviceGallery
         self.cfg = cfg
         self.tcfg = (tracker_cfg or TrackerConfig())
         self.encode_k = encode_k
+        self.interval = max(1, detection_interval)
         self.state = make_stream_state(self.tcfg, cfg.embedding_dim)
         self._step_cache = {}
 
@@ -226,30 +232,53 @@ class BatchStreamEngine:
         t_cap = self.tcfg.max_tracks
         dim = cfg.embedding_dim
 
+        interval = self.interval
+        if batch % interval != 0:
+            raise ValueError(f"batch {batch} not a multiple of detection_interval {interval}")
+        n_det = batch // interval
+
         def step(det_vars, enc_vars, gal, count, state, frames_u8):
-            # ---- detect (vmapped over frames)
-            dets = jax.vmap(lambda f: detector_fn(det_vars, f))(frames_u8)
+            # ---- detect (vmapped over every interval-th frame only —
+            # frame-skip semantics, face_recognition.py:376-393)
+            det_frames = frames_u8[::interval] if interval > 1 else frames_u8
+            dets = jax.vmap(lambda f: detector_fn(det_vars, f))(det_frames)
             # keep top-k_enc detections per frame for encoding/tracking
             order = jnp.argsort(-jnp.where(dets.mask, dets.scores, -1.0), axis=1)
-            pick = order[:, :k_enc]                               # (B, K)
+            pick = order[:, :k_enc]                               # (n_det, K)
             boxes = jnp.take_along_axis(dets.boxes_xywh, pick[..., None], axis=1)
             mask = jnp.take_along_axis(dets.mask, pick, axis=1)
 
             # ---- encode every picked face in one FaceNet pass
-            imgs01 = frames_u8.astype(jnp.float32) / 255.0
-            crops = jax.vmap(lambda img, b: crop_and_resize_mm(img, b, size))(imgs01, boxes)
-            flat = bgr_to_rgb(crops).reshape((-1, *size, 3))
+            # (crop directly from uint8; bf16 cast happens in the matmul
+            # resampler — no full-res f32 intermediate)
+            crops = jax.vmap(lambda img, b: crop_and_resize_mm(img, b, size))(
+                det_frames, boxes
+            )
+            flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
             emb = eng.encoder.apply(enc_vars, flat)
-            emb = l2_normalize(emb).reshape(batch, k_enc, -1)
+            emb = l2_normalize(emb).reshape(n_det, k_enc, -1)
             emb = emb * mask[..., None]
 
             # ---- match all embeddings in one gallery pass
             from fire_tpu.ops.gallery_match import cosine_topk
 
             valid = jnp.arange(gal.shape[0]) < count
-            sims, idx = cosine_topk(emb.reshape(batch * k_enc, -1), gal, valid, k=1)
-            det_gid = idx.reshape(batch, k_enc)
-            det_sim = sims.reshape(batch, k_enc)
+            sims, idx = cosine_topk(emb.reshape(n_det * k_enc, -1), gal, valid, k=1)
+            det_gid = idx.reshape(n_det, k_enc)
+            det_sim = sims.reshape(n_det, k_enc)
+
+            if interval > 1:
+                # scatter detections back to full-batch arrays: coast
+                # frames carry an all-False mask (tracker.update([]))
+                def expand(x, fill=0):
+                    full = jnp.full((batch, *x.shape[1:]), fill, x.dtype)
+                    return full.at[::interval].set(x)
+
+                boxes = expand(boxes.astype(jnp.float32))
+                mask = expand(mask, fill=False)
+                det_gid = expand(det_gid)
+                det_sim = expand(det_sim)
+                emb = expand(emb)
 
             # ---- serial tracking over the batch
             new_state, res = _track_scan(

@@ -706,7 +706,14 @@ class FaceRecognition:
     ) -> None:
         from fire_tpu.pipeline.batch_engine import BatchStreamEngine, stream_results
 
-        bse = BatchStreamEngine(self.engine, self.gallery, self.cfg)
+        interval = (
+            self.detection_interval
+            if batch_size % max(self.detection_interval, 1) == 0
+            else 1
+        )
+        bse = BatchStreamEngine(
+            self.engine, self.gallery, self.cfg, detection_interval=interval
+        )
         out = None
         if save_path:
             _ensure_parent_dir(save_path)

@@ -179,3 +179,25 @@ def test_stream_results_host_semantics(bse, tmp_path):
     outs2 = list(stream_results(rec, res2))
     assert all(o[0]["label"] == labels[-1] for o in outs2 if o)
     assert gal.count == 1  # no duplicate enrollment
+
+
+def test_detection_interval_coasting(bse):
+    """interval=4: detector runs on frames 0 and 4 only; tracker coasts
+    between (frame-skip semantics, face_recognition.py:376-393)."""
+    b, gal = bse
+    from fire_tpu.pipeline.batch_engine import BatchStreamEngine
+
+    b4 = BatchStreamEngine(b.engine, gal, b.cfg, b.tcfg, encode_k=MAXF,
+                           detection_interval=4)
+    # moving face present in every frame; detector only sees 0 and 4
+    mk = lambda i: _frame([((10 + 2 * i, 20, 16, 16), 6)])
+    frames = np.stack([mk(i) for i in range(8)])
+    res = b4.process_batch(frames)
+    res3 = None
+    for _ in range(2):
+        res3 = b4.process_batch(frames)
+    # track confirmed eventually despite skipping: hits accrue only on
+    # detect frames (2 per batch), so min_hits=4 is reached in batch 3
+    assert res3.mask.sum() > 0
+    # coast frames carry no detections → src embeddings only on detect frames
+    assert (res.enroll_frame[res.enroll_frame >= 0] % 4 == 0).all()
