@@ -100,6 +100,10 @@ class EngineConfig:
     frame_batch: int = 8
     # Detector input resolution (H, W); frames are letterboxed to this.
     detect_size: Tuple[int, int] = (640, 640)
+    # RetinaFace (offline accuracy path) runs at higher resolution,
+    # mirroring the reference's scale-to-[1024,1980] preprocess
+    # (processing/preprocess.py:133).
+    retinaface_size: Tuple[int, int] = (1024, 1024)
     # FaceNet input (facenet_gpu.py:110).
     encode_size: Tuple[int, int] = (160, 160)
 

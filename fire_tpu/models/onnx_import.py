@@ -195,13 +195,11 @@ def assign_facenet(params: dict, batch_stats: dict, graph: OnnxGraph) -> Tuple[d
     every step so a topology mismatch fails loudly instead of silently
     producing garbage embeddings.
     """
-    import jax
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     flat_p = flatten_dict(params)
     flat_s = flatten_dict(batch_stats)
     stream = weight_stream(graph)
-    si = 0
 
     # Our per-layer order: conv kernel (maybe +bias), then, for ConvBn,
     # its BN (bias, mean, var).  Flax flatten_dict is sorted; rebuild
@@ -245,6 +243,5 @@ def assign_facenet(params: dict, batch_stats: dict, graph: OnnxGraph) -> Tuple[d
                 wt = w.T if w.shape[0] != w.shape[1] else w
                 k = take(p_pool, wt.shape, flat_p, new_p)
                 new_p[k] = wt.astype(np.float32)
-        si += 1
 
     return unflatten_dict(new_p), unflatten_dict(new_s)

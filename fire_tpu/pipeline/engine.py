@@ -100,7 +100,6 @@ class DeviceEngine:
                  seed: int = 0):
         self.cfg = cfg
         self.params_dir = params_dir
-        self.rng = jax.random.PRNGKey(seed)
 
         dt = cfg.engine.cdtype
         self.encoder = FaceNet(embed_dim=cfg.embedding_dim, dtype=dt)
@@ -110,7 +109,7 @@ class DeviceEngine:
             self._detect_input = cfg.engine.detect_size
         elif det == "retinaface":
             self.detector = RetinaFace(dtype=dt)
-            self._detect_input = cfg.engine.detect_size
+            self._detect_input = cfg.engine.retinaface_size
         elif det in ("mediapipe", "blazeface"):
             self.detector = BlazeFace(dtype=dt)
             self._detect_input = (128, 128)
@@ -121,7 +120,6 @@ class DeviceEngine:
 
         self._init_params(seed)
         self._detect_jit_cache: Dict[Tuple[int, int], callable] = {}
-        self._encode_jit = None  # built lazily per bucket via partial jit
 
     # -- parameters --------------------------------------------------------
 
@@ -163,6 +161,14 @@ class DeviceEngine:
                 f.write(serialization.to_bytes({"enc": self.enc_vars, "det": self.det_vars}))
             log.info("Saved freshly initialized model parameters to %s "
                      "(embeddings stay stable across sessions).", path)
+
+    def load_trained_encoder(self, path: str) -> None:
+        """Load encoder variables produced by ``python -m fire_tpu.train``."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            self.enc_vars = serialization.from_bytes(self.enc_vars, f.read())
+        log.info("Loaded trained encoder variables from %s.", path)
 
     def load_onnx_weights(self, facenet_onnx: str) -> None:
         """Import reference FaceNet weights (facenet_gpu.py:99-106) when

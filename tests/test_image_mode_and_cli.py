@@ -1,0 +1,107 @@
+"""Image-mode orchestration + CLI flag parity with the reference."""
+
+import numpy as np
+import pytest
+
+from fire_tpu.cli import build_parser
+from tests.test_pipeline import FakeEngine
+from fire_tpu.config import TrackerConfig
+from fire_tpu.pipeline.recognizer import FaceRecognition
+
+
+@pytest.fixture
+def recog(tmp_path):
+    eng = FakeEngine()
+    fr = FaceRecognition(
+        detector_type="yunet", encoder_model_type="128",
+        similarity_threshold=0.7, unknown_trigger_count=1,
+        detection_interval=1, enable_logging=False,
+        storage_root=str(tmp_path / "storage"), engine=eng,
+        tracker_cfg=TrackerConfig(),
+    )
+    return fr, eng, tmp_path
+
+
+def test_process_image_enrolls_unknowns(recog):
+    """Image mode: unmatched faces enrolled as Unknown_* immediately,
+    no tracker involved (face_recognition.py:583-661)."""
+    import cv2
+
+    fr, eng, tmp = recog
+    img = np.zeros((200, 300, 3), np.uint8)
+    path = str(tmp / "in.jpg")
+    cv2.imwrite(path, img)
+    eng.scene = [([50, 60, 40, 40], 4), ([150, 60, 40, 40], 8)]
+    out_path = str(tmp / "out.jpg")
+    fr.process_image(path, annotate=True, save_path=out_path)
+    assert fr.gallery.count == 2
+    assert all(l.startswith("Unknown_") for l in fr.gallery.labels)
+    import os
+
+    assert os.path.exists(out_path)
+    # second pass on the same image: both faces now matched, nothing added
+    fr.process_image(path, annotate=False)
+    assert fr.gallery.count == 2
+
+
+def test_process_image_label_relabels(recog):
+    """--label path: best match and its similar group renamed
+    (face_recognition.py:511-565)."""
+    import cv2
+
+    fr, eng, tmp = recog
+    img = np.zeros((200, 300, 3), np.uint8)
+    path = str(tmp / "in.jpg")
+    cv2.imwrite(path, img)
+    eng.scene = [([50, 60, 40, 40], 4)]
+    fr.process_image(path)  # enroll as Unknown_*
+    assert fr.gallery.labels[0].startswith("Unknown_")
+    fr.process_image(path, label="ivan")
+    assert fr.gallery.labels[0] == "ivan"
+    # DB relabelled too
+    assert fr.db_manager.load_all()[0][1] == "ivan"
+
+
+def test_process_image_missing_file(recog):
+    fr, eng, tmp = recog
+    fr.process_image(str(tmp / "missing.jpg"))  # logs error, no crash
+    assert fr.gallery.count == 0
+
+
+def test_cli_accepts_every_reference_flag():
+    """Flag-for-flag parity with the reference argparse
+    (main.py:26-78): every reference flag parses here with the same
+    choices and defaults."""
+    p = build_parser()
+    args = p.parse_args([])
+    # reference defaults (main.py:27-77)
+    assert args.mode == "image"
+    assert args.detector == "mediapipe"
+    assert args.encoder is None
+    assert args.encoder_mode == "cpu_optimized"
+    assert args.detection_interval == 1
+    assert args.core == 0
+    assert args.annotate is True
+    assert args.align is False
+    for name in (
+        "input", "save", "label", "password", "hnsw_index_path",
+        "hnsw_labels_path", "hnsw_db_ids_path", "sqlite_db_path",
+        "sqlite_db_encrypted_path", "interested_label",
+    ):
+        assert getattr(args, name) is None
+
+    args = p.parse_args(
+        "--mode video --input v.mp4 --save o.avi --label bob --log --show "
+        "--password pw --detector yunet --encoder 512 --encoder_mode gpu_optimized "
+        "--align --detection_interval 3 --core 1 --no-annotate "
+        "--hnsw_index_path a --hnsw_labels_path b --hnsw_db_ids_path c "
+        "--sqlite_db_path d --sqlite_db_encrypted_path e --interested_label bob".split()
+    )
+    assert args.mode == "video" and args.encoder == "512" and not args.annotate
+    assert args.detection_interval == 3 and args.align and args.core == 1
+
+    # invalid choices rejected like the reference
+    with pytest.raises(SystemExit):
+        p.parse_args(["--detector", "dlib"])
+    with pytest.raises(SystemExit):
+        p.parse_args(["--encoder", "256"])
