@@ -1,0 +1,75 @@
+"""Multi-stream data-parallel inference on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from fire_tpu.config import RecognizerConfig, TrackerConfig
+from fire_tpu.gallery.index import DeviceGallery
+from fire_tpu.parallel.mesh import make_mesh
+from fire_tpu.parallel.multistream import MultiStreamEngine
+from fire_tpu.pipeline.batch_engine import BatchStreamEngine
+from tests.test_batch_engine import DIM, MAXF, _fake_engine, _frame
+
+
+def test_multistream_matches_single_stream():
+    """8 streams sharded over 8 devices produce exactly the results of
+    8 independent single-stream engines."""
+    mesh = make_mesh((8, 1))
+    cfg = RecognizerConfig(similarity_threshold=0.7, unknown_trigger_count=1).with_embedding_dim()
+    gal = DeviceGallery(DIM, capacity=1000)
+    # prepopulate two identities so matching paths run
+    for i, ident in enumerate((3, 7)):
+        v = np.zeros(DIM, np.float32)
+        v[ident] = 1.0
+        gal.add(v, f"person{ident}", db_id=i + 1)
+
+    eng = _fake_engine()
+    ms = MultiStreamEngine(eng, gal, cfg, mesh, TrackerConfig(), encode_k=MAXF)
+
+    # stream s tracks identity (s % 4) at stream-specific positions
+    def stream_frames(s):
+        ident = [3, 7, 5, 9][s % 4]
+        return np.stack(
+            [_frame([((8 + 2 * s + i, 10 + s, 16, 16), ident)]) for i in range(8)]
+        )
+
+    frames = np.stack([stream_frames(s) for s in range(8)])
+    results = ms.process_batches(frames)
+    assert len(results) == 8
+
+    # reference: independent single-stream engines
+    for s in range(8):
+        single = BatchStreamEngine(_fake_engine(), gal, cfg, TrackerConfig(), encode_k=MAXF)
+        ref = single.process_batch(stream_frames(s))
+        got = results[s]
+        np.testing.assert_array_equal(got.mask, ref.mask)
+        np.testing.assert_array_equal(got.tid, ref.tid)
+        np.testing.assert_array_equal(got.gid, ref.gid)
+        np.testing.assert_array_equal(got.boxes, ref.boxes)
+
+    # identity bookkeeping: streams of identity 3/7 matched the gallery
+    for s in (0, 1, 4, 5):
+        got = results[s]
+        matched = got.gid[got.mask]
+        assert matched.size > 0 and (matched >= 0).all()
+    # streams of unseen identities enrolled instead
+    for s in (2, 3, 6, 7):
+        got = results[s]
+        assert (got.enroll_frame >= 0).any()
+
+
+def test_multistream_state_persists_across_steps():
+    mesh = make_mesh((8, 1))
+    cfg = RecognizerConfig(similarity_threshold=0.7, unknown_trigger_count=1).with_embedding_dim()
+    gal = DeviceGallery(DIM, capacity=100)
+    ms = MultiStreamEngine(_fake_engine(), gal, cfg, mesh, TrackerConfig(), encode_k=MAXF)
+    frames = np.stack(
+        [np.stack([_frame([((10 + i, 20, 16, 16), 2)]) for i in range(8)])] * 8
+    )
+    r1 = ms.process_batches(frames)
+    r2 = ms.process_batches(frames)
+    # tracks confirmed in batch 1 remain confirmed with the same id
+    for s in range(8):
+        t1 = set(r1[s].tid[r1[s].mask].tolist())
+        t2 = set(r2[s].tid[r2[s].mask].tolist())
+        assert t1 and t1 == t2
