@@ -646,7 +646,13 @@ class FaceRecognition:
             self.timer.start()
             reader = PrefetchReader(cap)
             for frame in reader.frames():
-                faces = self.recognize_faces(frame, rename_label=name)
+                # one bad frame never kills the stream (SURVEY.md §5
+                # failure-detection contract; face_recognition.py:700,828)
+                try:
+                    faces = self.recognize_faces(frame, rename_label=name)
+                except Exception as e:
+                    log.error("Error recognizing frame %d: %s", self.frame_index, e)
+                    faces = []
                 annotated = annotate_faces(frame, faces, with_confidence=True) if annotate else frame.copy()
                 if self.show:
                     cv2.imshow(
