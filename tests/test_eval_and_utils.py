@@ -84,3 +84,25 @@ def test_identity_folder_dataset_and_batches(tmp_path, rng):
     imgs, labels = got[0]
     assert imgs.shape == (4, 32, 32, 3) and imgs.dtype == np.uint8
     assert labels.dtype == np.int32 and set(labels) <= {0, 1}
+
+
+def test_legacy_alignment_procedure(rng):
+    """Legacy eye-angle alignment (processing/postprocess.py:33-143):
+    after rotation the eye line is horizontal."""
+    from fire_tpu.utils.legacy_align import (
+        alignment_procedure,
+        eye_angle,
+        rotate_facial_area,
+    )
+
+    img = rng.integers(0, 255, (100, 100, 3)).astype(np.uint8)
+    # eyes tilted: left at (30, 40), right at (70, 50)
+    rotated, angle, direction = alignment_procedure(img, (30, 40), (70, 50))
+    assert rotated.shape == img.shape
+    assert 0 < angle < 45
+    # level eyes → no rotation
+    same, angle0, _ = alignment_procedure(img, (30, 40), (70, 40))
+    assert angle0 == 0.0 and np.array_equal(same, img)
+    # box projection stays in bounds
+    box = rotate_facial_area((20, 20, 60, 60), angle, direction, (100, 100))
+    assert 0 <= box[0] <= box[2] <= 100 and 0 <= box[1] <= box[3] <= 100

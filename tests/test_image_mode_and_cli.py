@@ -105,3 +105,38 @@ def test_cli_accepts_every_reference_flag():
         p.parse_args(["--detector", "dlib"])
     with pytest.raises(SystemExit):
         p.parse_args(["--encoder", "256"])
+
+
+def test_factories_reference_contracts():
+    """initialize_tracker / Encoder shims match the reference wiring."""
+    from fire_tpu.pipeline.factories import Encoder, initialize_tracker
+
+    s = initialize_tracker()
+    assert s.cfg.max_age == 4 and s.cfg.min_hits == 4 and s.cfg.iou_threshold == 0.3
+    out = s.update([{"bbox": [10, 10, 50, 50], "confidence": 1.0}])
+    assert out == []  # first sighting: unconfirmed
+
+    import fire_tpu.pipeline.factories as F
+
+    class _FakeEng:
+        class encoder:
+            @staticmethod
+            def apply(v, x):
+                import jax.numpy as jnp
+
+                return jnp.zeros((x.shape[0], 128))
+
+        enc_vars = {}
+
+    e = Encoder("128", engine=_FakeEng())
+    face = np.random.default_rng(0).integers(0, 255, (93, 71, 3)).astype(np.uint8)
+    pre = e.preprocess_for_encoder(face)
+    assert pre.shape == (1, 160, 160, 3) and pre.dtype == np.float32
+    assert pre.max() <= 1.0
+    emb = e.encode(pre)
+    assert emb.shape == (1, 128)
+
+    with pytest.raises(ValueError):
+        from fire_tpu.pipeline.factories import initialize_detector
+
+        initialize_detector("dlib")
