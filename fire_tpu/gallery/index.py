@@ -288,3 +288,45 @@ class DeviceGallery:
             self.rename_single(gid, new_label, store)
             return
         self.unify_labels(similar, new_label, store)
+
+
+class ShardedGalleryView:
+    """Multi-chip view of a DeviceGallery: rows sharded over the mesh's
+    ``dp`` axis, queries answered with local MXU top-k + an ICI
+    all-gather of the tiny candidate sets (SURVEY.md §2.4(d)).
+
+    The host-side DeviceGallery stays the mutation point (labels,
+    SQLite); call :meth:`refresh` after enrollments to re-shard.
+    """
+
+    def __init__(self, gallery: DeviceGallery, mesh, axis: str = "dp"):
+        from fire_tpu.parallel.sharded_gallery import shard_gallery
+
+        self.gallery = gallery
+        self.mesh = mesh
+        self.axis = axis
+        self._shard = shard_gallery
+        self.refresh()
+
+    def refresh(self) -> None:
+        n = self.mesh.shape[self.axis]
+        pad = ((self.gallery.padded + n - 1) // n) * n
+        gal = self.gallery._gal
+        if pad != gal.shape[0]:
+            gal = jnp.pad(gal, ((0, pad - gal.shape[0]), (0, 0)))
+        self._gal_sharded = self._shard(self.mesh, gal, self.axis)
+        valid = jnp.arange(pad) < self.gallery.count
+        self._valid_sharded = self._shard(self.mesh, valid, self.axis)
+
+    def query_batch(self, embeddings: np.ndarray, k: int = 1):
+        """Same contract as DeviceGallery.query_batch, sharded."""
+        from fire_tpu.parallel.sharded_gallery import sharded_cosine_topk
+
+        if self.gallery.count == 0:
+            return None, None
+        q = jax.device_put(np.asarray(embeddings, np.float32))
+        sims, idx = sharded_cosine_topk(
+            self.mesh, q, self._gal_sharded, self._valid_sharded,
+            k=min(k, self.gallery.count), axis=self.axis,
+        )
+        return np.asarray(idx), 1.0 - np.asarray(sims)

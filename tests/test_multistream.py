@@ -73,3 +73,32 @@ def test_multistream_state_persists_across_steps():
         t1 = set(r1[s].tid[r1[s].mask].tolist())
         t2 = set(r2[s].tid[r2[s].mask].tolist())
         assert t1 and t1 == t2
+
+
+def test_sharded_gallery_view_matches_local(rng):
+    """DeviceGallery.query_batch == ShardedGalleryView.query_batch over
+    an 8-way row-sharded mesh."""
+    from fire_tpu.gallery.index import DeviceGallery, ShardedGalleryView
+
+    mesh = make_mesh((8, 1))
+    g = DeviceGallery(64, capacity=2000)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i, v in enumerate(vecs):
+        g.add(v, f"p{i}", i)
+    view = ShardedGalleryView(g, mesh)
+
+    q = vecs[[5, 77, 250]]
+    ids_l, d_l = g.query_batch(q, k=3)
+    ids_s, d_s = view.query_batch(q, k=3)
+    for row_l, row_s in zip(ids_l, ids_s):
+        assert set(row_l.tolist()) == set(row_s.tolist())
+    np.testing.assert_allclose(np.sort(d_l, axis=1), np.sort(d_s, axis=1), atol=2e-2)
+
+    # enrollment + refresh keeps them in sync
+    nv = rng.standard_normal(64).astype(np.float32)
+    nv /= np.linalg.norm(nv)
+    g.add(nv, "new", 999)
+    view.refresh()
+    ids_s2, _ = view.query_batch(nv[None], k=1)
+    assert int(ids_s2[0][0]) == 300
