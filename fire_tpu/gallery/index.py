@@ -31,14 +31,14 @@ import logging
 import os
 import pickle
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from fire_tpu.gallery.crypto import Encryptor
-from fire_tpu.ops.gallery_match import cosine_topk, l2_normalize
+from fire_tpu.ops.gallery_match import cosine_topk
 
 log = logging.getLogger(__name__)
 

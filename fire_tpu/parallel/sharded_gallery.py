@@ -14,7 +14,6 @@ collectives inside ``shard_map`` rather than NCCL/MPI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

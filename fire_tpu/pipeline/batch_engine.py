@@ -33,7 +33,6 @@ same jitted sort_step used by the parity-tested Sort class.
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ These shims provide the same call signatures on top of the TPU engine.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

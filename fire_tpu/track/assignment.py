@@ -19,7 +19,6 @@ Both apply the reference gate: reject pairs with cost
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
