@@ -234,20 +234,32 @@ class DeviceEngine:
         # jnp.asarray would cost ~130ms here, jax.device_put ~4ms
         return fn(self.det_vars, _dev(frame_bgr))
 
+    @partial(jax.jit, static_argnames=("self",))
+    def _pack_dets(self, d: Detections) -> jnp.ndarray:
+        """(N, 16) f32: bbox(4) ‖ landmarks(10) ‖ score ‖ mask — one
+        device→host transfer instead of four (D2H latency dominates the
+        per-frame path on this platform)."""
+        n = d.boxes_xywh.shape[0]
+        return jnp.concatenate(
+            [
+                d.boxes_xywh.astype(jnp.float32),
+                d.landmarks.reshape(n, 10).astype(jnp.float32),
+                d.scores[:, None].astype(jnp.float32),
+                d.mask[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+
     def detect_faces(self, frame_bgr: np.ndarray):
         """Reference list-of-dicts contract (yunet_face_detector.py:49-58)."""
-        d = self.detect(frame_bgr)
-        mask = np.asarray(d.mask)
-        boxes = np.asarray(d.boxes_xywh)
-        lms = np.asarray(d.landmarks)
-        scores = np.asarray(d.scores)
+        packed = np.asarray(self._pack_dets(self.detect(frame_bgr)))
         out = []
-        for i in np.nonzero(mask)[0]:
+        for row in packed[packed[:, 15] > 0.5]:
             out.append(
                 {
-                    "bbox": boxes[i].astype(np.int32).tolist(),
-                    "landmarks": lms[i].astype(np.int32),
-                    "confidence": float(scores[i]),
+                    "bbox": row[:4].astype(np.int32).tolist(),
+                    "landmarks": row[4:14].reshape(5, 2).astype(np.int32),
+                    "confidence": float(row[14]),
                 }
             )
         return out
