@@ -209,6 +209,35 @@ class FaceNet(nn.Module):
         return x.astype(jnp.float32)
 
 
+def facenet_layer_order(depths: Sequence[int] = (5, 10, 5)):
+    """Parameterised layers of :class:`FaceNet` in execution order —
+    the contract :func:`fire_tpu.models.onnx_import.assign_facenet`
+    zips an ONNX export's weight stream against.  Must track
+    ``FaceNet.__call__`` exactly (each ``ConvBn`` is one "convbn"
+    entry; each block's ``up`` projection is a biased "conv")."""
+    order = [("convbn", (f"stem{i}",)) for i in range(6)]
+
+    def block(name, branches):
+        for sub in branches:
+            order.append(("convbn", (name, sub)))
+        order.append(("conv", (name, "up")))
+
+    for i in range(depths[0]):
+        block(f"block35_{i}", ["b0", "b1_0", "b1_1", "b2_0", "b2_1", "b2_2"])
+    for sub in ("b0", "b1_0", "b1_1", "b1_2"):
+        order.append(("convbn", ("reduction_a", sub)))
+    for i in range(depths[1]):
+        block(f"block17_{i}", ["b0", "b1_0", "b1_1", "b1_2"])
+    for sub in ("b0_0", "b0_1", "b1_0", "b1_1", "b2_0", "b2_1", "b2_2"):
+        order.append(("convbn", ("reduction_b", sub)))
+    for i in range(depths[2]):
+        block(f"block8_{i}", ["b0", "b1_0", "b1_1", "b1_2"])
+    block("block8_final", ["b0", "b1_0", "b1_1", "b1_2"])
+    order.append(("dense", ("bottleneck",)))
+    order.append(("bn", ("bottleneck_bn",)))
+    return order
+
+
 def facenet_128(dtype=jnp.bfloat16) -> FaceNet:
     """FaceNet-128d — facenet_gpu.py:104-106."""
     return FaceNet(embed_dim=128, dtype=dtype)

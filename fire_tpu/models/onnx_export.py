@@ -1,0 +1,292 @@
+"""Minimal ONNX writer (dependency-free protobuf serialization).
+
+Two roles:
+
+* Product: export fire_tpu-trained models (e.g. an ArcFace-trained
+  FaceNet) as standard ONNX files any runtime can consume — the
+  interchange format the reference ecosystem lives in
+  (facenet_gpu.py:99-114 loads exactly such files).
+* Tests: build real-wire-format ONNX fixtures locally (the reference's
+  weight files are Git-LFS stubs, SURVEY.md §7), so the import /
+  execution machinery in :mod:`fire_tpu.models.onnx_import` and
+  :mod:`fire_tpu.models.onnx_exec` is proven against genuine
+  serializations — including packed repeated fields, the form real
+  exporters emit.
+
+Only the ModelProto subset needed for CNN graphs is implemented.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from fire_tpu.models.onnx_import import _NP_TO_ONNX
+
+# ------------------------------------------------------------ proto encode ---
+
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        n += 1 << 64
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(fnum: int, wtype: int) -> bytes:
+    return _varint((fnum << 3) | wtype)
+
+
+def _f_varint(fnum: int, value: int) -> bytes:
+    return _tag(fnum, 0) + _varint(value)
+
+
+def _f_bytes(fnum: int, value: bytes) -> bytes:
+    return _tag(fnum, 2) + _varint(len(value)) + value
+
+
+def _f_string(fnum: int, value: str) -> bytes:
+    return _f_bytes(fnum, value.encode())
+
+
+def _f_float(fnum: int, value: float) -> bytes:
+    return _tag(fnum, 5) + struct.pack("<f", value)
+
+
+def _f_packed_varints(fnum: int, values: Sequence[int]) -> bytes:
+    payload = b"".join(_varint(v) for v in values)
+    return _f_bytes(fnum, payload)
+
+
+def _tensor_proto(name: str, arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr)
+    if arr.ndim:  # ascontiguousarray would promote 0-d scalars to 1-d
+        arr = np.ascontiguousarray(arr)
+    onnx_dtype = _NP_TO_ONNX[arr.dtype]
+    msg = _f_packed_varints(1, list(arr.shape))           # dims (packed)
+    msg += _f_varint(2, onnx_dtype)                       # data_type
+    msg += _f_string(8, name)                             # name
+    msg += _f_bytes(9, arr.tobytes())                     # raw_data
+    return msg
+
+
+def _attribute_proto(name: str, value: Any) -> bytes:
+    msg = _f_string(1, name)
+    if isinstance(value, np.ndarray):
+        msg += _f_bytes(5, _tensor_proto("", value)) + _f_varint(20, 4)
+    elif isinstance(value, bool):
+        msg += _f_varint(3, int(value)) + _f_varint(20, 2)
+    elif isinstance(value, int):
+        msg += _f_varint(3, value) + _f_varint(20, 2)
+    elif isinstance(value, float):
+        msg += _f_float(2, value) + _f_varint(20, 1)
+    elif isinstance(value, str):
+        msg += _f_bytes(4, value.encode()) + _f_varint(20, 3)
+    elif isinstance(value, (list, tuple)):
+        if all(isinstance(v, (int, np.integer)) for v in value):
+            msg += _f_packed_varints(8, [int(v) for v in value]) + _f_varint(20, 7)
+        elif all(isinstance(v, (float, np.floating)) for v in value):
+            payload = b"".join(struct.pack("<f", float(v)) for v in value)
+            msg += _f_bytes(7, payload) + _f_varint(20, 6)
+        elif all(isinstance(v, str) for v in value):
+            msg += b"".join(_f_bytes(9, v.encode()) for v in value) + _f_varint(20, 8)
+        else:
+            raise TypeError(f"mixed attribute list for {name!r}")
+    else:
+        raise TypeError(f"unsupported attribute type {type(value)} for {name!r}")
+    return msg
+
+
+def _node_proto(op_type: str, inputs: Sequence[str], outputs: Sequence[str],
+                name: str = "", attrs: Optional[Dict[str, Any]] = None) -> bytes:
+    msg = b"".join(_f_string(1, i) for i in inputs)
+    msg += b"".join(_f_string(2, o) for o in outputs)
+    if name:
+        msg += _f_string(3, name)
+    msg += _f_string(4, op_type)
+    for k, v in (attrs or {}).items():
+        if v is not None:
+            msg += _f_bytes(5, _attribute_proto(k, v))
+    return msg
+
+
+def _value_info(name: str, shape: Sequence[int], onnx_dtype: int = 1) -> bytes:
+    dims = b"".join(_f_bytes(1, _f_varint(1, d)) for d in shape)  # Dimension.dim_value
+    tshape = _f_bytes(2, dims)                                    # TensorTypeProto.shape
+    ttype = _f_varint(1, onnx_dtype) + tshape                     # elem_type + shape
+    typ = _f_bytes(1, ttype)                                      # TypeProto.tensor_type
+    return _f_string(1, name) + _f_bytes(2, typ)
+
+
+class GraphBuilder:
+    """Incrementally build a GraphProto and serialize a ModelProto."""
+
+    def __init__(self, name: str = "fire_tpu"):
+        self.name = name
+        self._nodes: List[bytes] = []
+        self._inits: List[bytes] = []
+        self._inputs: List[bytes] = []
+        self._outputs: List[bytes] = []
+        self._auto = 0
+
+    def fresh(self, hint: str = "t") -> str:
+        self._auto += 1
+        return f"{hint}_{self._auto}"
+
+    def add_input(self, name: str, shape: Sequence[int], onnx_dtype: int = 1) -> str:
+        self._inputs.append(_value_info(name, shape, onnx_dtype))
+        return name
+
+    def add_output(self, name: str, shape: Sequence[int] = (), onnx_dtype: int = 1) -> str:
+        self._outputs.append(_value_info(name, shape, onnx_dtype))
+        return name
+
+    def add_init(self, name: str, arr: np.ndarray) -> str:
+        self._inits.append(_f_bytes(5, _tensor_proto(name, np.asarray(arr))))
+        return name
+
+    def add_node(self, op_type: str, inputs: Sequence[str],
+                 outputs: Optional[Sequence[str]] = None, name: str = "",
+                 **attrs) -> str:
+        if outputs is None:
+            outputs = [self.fresh(op_type.lower())]
+        self._nodes.append(_f_bytes(1, _node_proto(op_type, inputs, outputs, name, attrs)))
+        return outputs[0]
+
+    def model_bytes(self, opset: int = 13, ir_version: int = 8) -> bytes:
+        graph = b"".join(self._nodes)
+        graph += _f_string(2, self.name)
+        graph += b"".join(self._inits)
+        graph += b"".join(_f_bytes(11, vi) for vi in self._inputs)
+        graph += b"".join(_f_bytes(12, vi) for vi in self._outputs)
+        opset_id = _f_string(1, "") + _f_varint(2, opset)
+        model = _f_varint(1, ir_version)
+        model += _f_string(2, "fire_tpu")
+        model += _f_bytes(7, graph)
+        model += _f_bytes(8, opset_id)
+        return model
+
+    def save(self, path: str, opset: int = 13) -> None:
+        with open(path, "wb") as f:
+            f.write(self.model_bytes(opset))
+
+
+# ------------------------------------------------------- FaceNet exporter ---
+
+
+def export_facenet(variables: dict, embed_dim: int, depths=(5, 10, 5),
+                   stem_width: int = 32, image_size: int = 160) -> bytes:
+    """Serialize a :class:`fire_tpu.models.facenet.FaceNet` as ONNX.
+
+    Emits the Inception-ResNet-v1 graph in NCHW with the same node
+    order :func:`fire_tpu.models.facenet.facenet_layer_order` declares,
+    so the file round-trips through :func:`assign_facenet` and runs
+    under :mod:`fire_tpu.models.onnx_exec` (or any standard runtime).
+    Input contract matches the reference files: NHWC float [0,1]
+    (modules/encoder.py:19-27) — a leading Transpose maps to NCHW.
+    """
+    from flax.traverse_util import flatten_dict
+
+    p = flatten_dict(variables["params"])
+    s = flatten_dict(variables["batch_stats"])
+    g = GraphBuilder("facenet")
+    g.add_input("input", (1, image_size, image_size, 3))
+    x = g.add_node("Transpose", ["input"], perm=[0, 3, 1, 2])
+
+    def conv(x, path, strides=(1, 1), pads=(0, 0, 0, 0)):
+        kern = np.asarray(p[path + ("kernel",)], np.float32)
+        w = g.add_init("/".join(path) + "/W", np.transpose(kern, (3, 2, 0, 1)))
+        ins = [x, w]
+        if path + ("bias",) in p:
+            ins.append(g.add_init("/".join(path) + "/b",
+                                  np.asarray(p[path + ("bias",)], np.float32)))
+        return g.add_node("Conv", ins, strides=list(strides),
+                          pads=list(pads), kernel_shape=list(kern.shape[:2]))
+
+    def bn(x, path, eps=1e-3):
+        n = np.asarray(s[path + ("mean",)]).shape[0]
+        pre = "/".join(path)
+        scale = (np.asarray(p[path + ("scale",)], np.float32)
+                 if path + ("scale",) in p else np.ones(n, np.float32))
+        ins = [x,
+               g.add_init(pre + "/gamma", scale),
+               g.add_init(pre + "/beta", np.asarray(p[path + ("bias",)], np.float32)),
+               g.add_init(pre + "/mean", np.asarray(s[path + ("mean",)], np.float32)),
+               g.add_init(pre + "/var", np.asarray(s[path + ("var",)], np.float32))]
+        return g.add_node("BatchNormalization", ins, epsilon=float(eps))
+
+    def convbn(x, path, strides=(1, 1), same=True, relu=True):
+        kh, kw = np.asarray(p[path + ("conv", "kernel")]).shape[:2]
+        pads = [kh // 2, kw // 2, (kh - 1) // 2, (kw - 1) // 2] if same else [0, 0, 0, 0]
+        x = conv(x, path + ("conv",), strides, pads)
+        x = bn(x, path + ("bn",))
+        return g.add_node("Relu", [x]) if relu else x
+
+    def block(x, name, branches, scale, relu=True):
+        outs = [x]
+        cat = [convbn_chain(x, name, br) for br in branches]
+        up = g.add_node("Concat", cat, axis=1)
+        up = conv(up, (name, "up"))
+        sc = g.add_init(f"{name}/scale", np.asarray(scale, np.float32))
+        up = g.add_node("Mul", [up, sc])
+        out = g.add_node("Add", [x, up])
+        return g.add_node("Relu", [out]) if relu else out
+
+    def convbn_chain(x, name, chain):
+        for sub in chain:
+            x = convbn(x, (name, sub))
+        return x
+
+    # Stem — padding/stride layout mirrors FaceNet.__call__.
+    x = convbn(x, ("stem0",), strides=(2, 2), same=False)
+    x = convbn(x, ("stem1",), same=False)
+    x = convbn(x, ("stem2",))
+    x = g.add_node("MaxPool", [x], kernel_shape=[3, 3], strides=[2, 2])
+    x = convbn(x, ("stem3",), same=False)
+    x = convbn(x, ("stem4",), same=False)
+    x = convbn(x, ("stem5",), strides=(2, 2), same=False)
+
+    for i in range(depths[0]):
+        x = block(x, f"block35_{i}", [["b0"], ["b1_0", "b1_1"], ["b2_0", "b2_1", "b2_2"]], 0.17)
+    # ReductionA
+    b0 = convbn(x, ("reduction_a", "b0"), strides=(2, 2), same=False)
+    b1 = convbn(x, ("reduction_a", "b1_0"))
+    b1 = convbn(b1, ("reduction_a", "b1_1"))
+    b1 = convbn(b1, ("reduction_a", "b1_2"), strides=(2, 2), same=False)
+    b2 = g.add_node("MaxPool", [x], kernel_shape=[3, 3], strides=[2, 2])
+    x = g.add_node("Concat", [b0, b1, b2], axis=1)
+
+    for i in range(depths[1]):
+        x = block(x, f"block17_{i}", [["b0"], ["b1_0", "b1_1", "b1_2"]], 0.10)
+    # ReductionB
+    b0 = convbn(x, ("reduction_b", "b0_0"))
+    b0 = convbn(b0, ("reduction_b", "b0_1"), strides=(2, 2), same=False)
+    b1 = convbn(x, ("reduction_b", "b1_0"))
+    b1 = convbn(b1, ("reduction_b", "b1_1"), strides=(2, 2), same=False)
+    b2 = convbn(x, ("reduction_b", "b2_0"))
+    b2 = convbn(b2, ("reduction_b", "b2_1"))
+    b2 = convbn(b2, ("reduction_b", "b2_2"), strides=(2, 2), same=False)
+    b3 = g.add_node("MaxPool", [x], kernel_shape=[3, 3], strides=[2, 2])
+    x = g.add_node("Concat", [b0, b1, b2, b3], axis=1)
+
+    for i in range(depths[2]):
+        x = block(x, f"block8_{i}", [["b0"], ["b1_0", "b1_1", "b1_2"]], 0.20)
+    x = block(x, "block8_final", [["b0"], ["b1_0", "b1_1", "b1_2"]], 1.0, relu=False)
+
+    x = g.add_node("GlobalAveragePool", [x])
+    x = g.add_node("Flatten", [x], axis=1)
+    w = g.add_init("bottleneck/W", np.asarray(p[("bottleneck", "kernel")], np.float32))
+    x = g.add_node("MatMul", [x, w])
+    x = bn(x, ("bottleneck_bn",))
+    g.add_node("Identity", [x], outputs=["embedding"])
+    g.add_output("embedding", (1, embed_dim))
+    return g.model_bytes()
