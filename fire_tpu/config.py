@@ -143,6 +143,15 @@ class RecognizerConfig:
     encryption_password: Optional[str] = None
     interested_label: Optional[str] = None
 
+    # Directory holding the reference's ONNX weight files
+    # (weights/facenet{128,512}.onnx, face_detection_yunet_2023mar.onnx,
+    # retinaface.onnx — facenet_gpu.py:14, yunet_face_detector.py:20).
+    # When the files exist they are imported into the Flax models at
+    # startup (fire_tpu.models.onnx_import); a topology mismatch falls
+    # back to running the file's exact graph via onnx_exec.  Git-LFS
+    # stubs / missing files leave the deterministic random init in place.
+    weights_dir: Optional[str] = "weights"
+
     # storage layout roots (face_recognition.py:87-128)
     storage_root: str = "storage"
     hnsw_index_path: Optional[str] = None

@@ -180,6 +180,91 @@ class GraphBuilder:
             f.write(self.model_bytes(opset))
 
 
+# -------------------------------------------------------- YuNet exporter ---
+
+
+def export_yunet(variables: dict, width: int = 64, image_hw=(640, 640)) -> bytes:
+    """Serialize a :class:`fire_tpu.models.yunet.YuNet` as ONNX with the
+    2023mar file's I/O contract: input ``input`` (1,3,H,W) raw-pixel
+    BGR NCHW; outputs ``cls_8..kps_32`` as (1, H·W, C) row-major maps
+    (yunet.py:20-28 is the reference consumer).  Node order matches
+    :func:`fire_tpu.models.yunet.yunet_layer_order`, so the file
+    round-trips through ``assign_yunet``."""
+    from flax.traverse_util import flatten_dict
+
+    p = flatten_dict(variables["params"])
+    s = flatten_dict(variables["batch_stats"])
+    g = GraphBuilder("yunet")
+    h, w_in = image_hw
+    g.add_input("input", (1, 3, h, w_in))
+
+    def conv(x, path, strides=(1, 1), pads=(1, 1, 1, 1), group=1):
+        kern = np.asarray(p[path + ("kernel",)], np.float32)  # HWIO
+        if group > 1:
+            oihw = np.transpose(kern, (3, 2, 0, 1))  # (C,1,kH,kW)
+        else:
+            oihw = np.transpose(kern, (3, 2, 0, 1))
+        pre = "/".join(path)
+        ins = [x, g.add_init(pre + "/W", oihw),
+               g.add_init(pre + "/b", np.asarray(p[path + ("bias",)], np.float32))]
+        return g.add_node("Conv", ins, strides=list(strides), pads=list(pads),
+                          group=group, kernel_shape=list(kern.shape[:2]))
+
+    def bn(x, path):
+        pre = "/".join(path)
+        ins = [x,
+               g.add_init(pre + "/gamma", np.asarray(p[path + ("scale",)], np.float32)),
+               g.add_init(pre + "/beta", np.asarray(p[path + ("bias",)], np.float32)),
+               g.add_init(pre + "/mean", np.asarray(s[path + ("mean",)], np.float32)),
+               g.add_init(pre + "/var", np.asarray(s[path + ("var",)], np.float32))]
+        return g.add_node("BatchNormalization", ins, epsilon=1e-5)
+
+    def dp(x, path, with_bn_relu=True):
+        feats = np.asarray(p[path + ("conv2", "kernel")]).shape[-1]
+        x = conv(x, path + ("conv1",), pads=(0, 0, 0, 0))
+        x = conv(x, path + ("conv2",), group=feats)
+        if with_bn_relu:
+            x = bn(x, path + ("bn",))
+            x = g.add_node("Relu", [x])
+        return x
+
+    def pool(x):
+        return g.add_node("MaxPool", [x], kernel_shape=[2, 2], strides=[2, 2])
+
+    x = conv("input", ("model0", "conv1"), strides=(2, 2))
+    x = bn(x, ("model0", "bn1"))
+    x = g.add_node("Relu", [x])
+    x = dp(x, ("model0", "conv2"))
+    x = pool(x)
+    x = dp(dp(x, ("model1", "conv1")), ("model1", "conv2"))
+    x = dp(dp(x, ("model2", "conv1")), ("model2", "conv2"))
+    x = pool(x)
+    c3 = dp(dp(x, ("model3", "conv1")), ("model3", "conv2"))
+    c4 = dp(dp(pool(c3), ("model4", "conv1")), ("model4", "conv2"))
+    c5 = dp(dp(pool(c4), ("model5", "conv1")), ("model5", "conv2"))
+
+    roi = g.add_init("roi", np.zeros(0, np.float32))
+    up_scales = g.add_init("up2", np.asarray([1.0, 1.0, 2.0, 2.0], np.float32))
+    p5 = dp(c5, ("neck2",))
+    u5 = g.add_node("Resize", [p5, roi, up_scales], mode="nearest")
+    p4 = dp(g.add_node("Add", [c4, u5]), ("neck1",))
+    u4 = g.add_node("Resize", [p4, roi, up_scales], mode="nearest")
+    p3 = dp(g.add_node("Add", [c3, u4]), ("neck0",))
+
+    for stride, feat in ((8, p3), (16, p4), (32, p5)):
+        f = dp(feat, (f"head_s{stride}", "feat"))
+        for oname, ch in (("cls", 1), ("obj", 1), ("box", 4), ("kps", 10)):
+            y = dp(f, (f"head_s{stride}", oname), with_bn_relu=False)
+            if oname in ("cls", "obj"):
+                y = g.add_node("Sigmoid", [y])
+            y = g.add_node("Transpose", [y], perm=[0, 2, 3, 1])
+            shape = g.add_init(f"shape_{oname}_{stride}", np.asarray([1, -1, ch], np.int64))
+            out_name = f"{'bbox' if oname == 'box' else oname}_{stride}"
+            g.add_node("Reshape", [y, shape], outputs=[out_name])
+            g.add_output(out_name, (1, (h // stride) * (w_in // stride), ch))
+    return g.model_bytes()
+
+
 # ------------------------------------------------------- FaceNet exporter ---
 
 

@@ -1,20 +1,42 @@
-"""YuNet-class anchor-free face detector (Flax, NHWC).
+"""YuNet 2023mar face detector (Flax, NHWC) — weight-loadable topology.
 
 TPU-native replacement for OpenCV's opaque ``cv.FaceDetectorYN``
-pipeline (yunet.py:20-57): a compact depthwise-separable backbone with
-detection heads at strides 8/16/32 and the FaceDetectorYN output
-contract — per location ``score = sqrt(cls·obj)``, centre/size box
-decode, 5 landmarks (see fire_tpu.ops.anchors.yunet_grid_decode) —
-followed by on-device NMS.  Default thresholds mirror the reference
-wiring: conf 0.90, NMS 0.3, topK 5000 (yunet_face_detector.py:10-11).
+pipeline (yunet.py:20-57), implementing the *actual* architecture
+behind ``face_detection_yunet_2023mar.onnx`` (libfacedetection's
+"yunet_n") so the real file's weights load via
+:func:`fire_tpu.models.onnx_import.assign_yunet`:
 
-The graph is one jit from raw frame to padded `Detections`: letterbox →
-backbone → heads → decode → NMS → un-letterbox, all static shapes.
+* stem ``Conv_head(3,16,16)``: 3×3 s2 conv+BN+ReLU, then a
+  depthwise-separable ``ConvDPUnit``;
+* backbone: ``Conv4layerBlock(16,64)`` then four ``(64,64)`` blocks with
+  2×2 max-pools between stages (feature strides 8/16/32);
+* a top-down FPN of ``ConvDPUnit`` merges (nearest ×2 upsample + add);
+* per-level heads: shared ``ConvDPUnit(64,64)`` feature then four
+  bias-only ``ConvDPUnit`` outputs — cls(1), obj(1), bbox(4), kps(10).
+
+Parameter count at the canonical widths is exactly **75,856**, matching
+the published 2023mar model.  Every unit is conv(1×1, bias) →
+depthwise conv(3×3, bias) [→ BN(eps 1e-5, affine) → ReLU], the
+``ConvDPUnit`` layout of libfacedetection.  Should a real weight file
+ever disagree, import fails loudly (shape-checked per layer) and the
+engine falls back to :mod:`fire_tpu.models.onnx_exec`, which runs the
+file's exact graph regardless.
+
+Post-processing keeps the FaceDetectorYN output contract — per
+location ``score = sqrt(cls·obj)``, centre/size box decode, 5
+landmarks (fire_tpu.ops.anchors.yunet_grid_decode) — followed by
+on-device NMS.  Default thresholds mirror the reference wiring:
+conf 0.90, NMS 0.3, topK 5000 (yunet_face_detector.py:10-11).
+
+TPU notes: whole graph is one jit from raw frame to padded
+`Detections`: letterbox → backbone → heads → decode → NMS →
+un-letterbox, all static shapes.  Convs are NHWC so XLA tiles them
+onto the MXU; compute in bfloat16 with f32 decode.
 """
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,40 +47,74 @@ from fire_tpu.ops import boxes as fbox
 
 Dtype = Any
 
+_BN_EPS = 1e-5  # torch BatchNorm2d default, used by libfacedetection
 
-class DWBlock(nn.Module):
-    """Depthwise 3×3 + pointwise 1×1, both BN+ReLU (MobileNet-style)."""
+
+class ConvDPUnit(nn.Module):
+    """1×1 conv (bias) → 3×3 depthwise conv (bias) [→ BN → ReLU]."""
 
     features: int
-    strides: Tuple[int, int] = (1, 1)
+    with_bn_relu: bool = True
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cin = x.shape[-1]
-        x = nn.Conv(
-            cin, (3, 3), strides=self.strides, padding="SAME",
-            feature_group_count=cin, use_bias=False, dtype=self.dtype, name="dw",
-        )(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5, dtype=self.dtype, name="dw_bn")(x)
+        f = self.features
+        x = nn.Conv(f, (1, 1), use_bias=True, dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(f, (3, 3), padding="SAME", feature_group_count=f,
+                    use_bias=True, dtype=self.dtype, name="conv2")(x)
+        if self.with_bn_relu:
+            x = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
+                             dtype=self.dtype, name="bn")(x)
+            x = nn.relu(x)
+        return x
+
+
+class ConvHead(nn.Module):
+    """Stem: 3×3 s2 conv(bias)+BN+ReLU, then a ConvDPUnit."""
+
+    mid: int
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch padding=1 (NOT Flax SAME: stride 2 on even dims would
+        # pad (0,1) instead of the real model's (1,1))
+        x = nn.Conv(self.mid, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=True, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=_BN_EPS,
+                         dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="pw")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5, dtype=self.dtype, name="pw_bn")(x)
-        return nn.relu(x)
+        return ConvDPUnit(self.features, dtype=self.dtype, name="conv2")(x, train)
+
+
+class Conv4LayerBlock(nn.Module):
+    """Two stacked ConvDPUnits (in→in, in→out)."""
+
+    features: int
+    with_bn_relu: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvDPUnit(x.shape[-1], dtype=self.dtype, name="conv1")(x, train)
+        return ConvDPUnit(self.features, with_bn_relu=self.with_bn_relu,
+                          dtype=self.dtype, name="conv2")(x, train)
 
 
 class YuNetHead(nn.Module):
-    """Per-level prediction head: cls(1) + obj(1) + box(4) + kps(10)."""
+    """Per-level head: shared DP feature + 4 output ConvDPUnits."""
 
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        f = DWBlock(x.shape[-1], dtype=self.dtype, name="feat")(x, train)
-        cls = nn.Conv(1, (1, 1), dtype=self.dtype, name="cls")(f)
-        obj = nn.Conv(1, (1, 1), dtype=self.dtype, name="obj")(f)
-        box = nn.Conv(4, (1, 1), dtype=self.dtype, name="box")(f)
-        kps = nn.Conv(10, (1, 1), dtype=self.dtype, name="kps")(f)
+        f = ConvDPUnit(x.shape[-1], dtype=self.dtype, name="feat")(x, train)
+        cls = ConvDPUnit(1, with_bn_relu=False, dtype=self.dtype, name="cls")(f, train)
+        obj = ConvDPUnit(1, with_bn_relu=False, dtype=self.dtype, name="obj")(f, train)
+        box = ConvDPUnit(4, with_bn_relu=False, dtype=self.dtype, name="box")(f, train)
+        kps = ConvDPUnit(10, with_bn_relu=False, dtype=self.dtype, name="kps")(f, train)
         return (
             nn.sigmoid(cls.astype(jnp.float32)),
             nn.sigmoid(obj.astype(jnp.float32)),
@@ -67,10 +123,19 @@ class YuNetHead(nn.Module):
         )
 
 
-class YuNet(nn.Module):
-    """Backbone + FPN-lite + anchor-free heads at strides 8/16/32."""
+def _up2(x):
+    """Nearest ×2 upsample (the FPN merge; Resize-nearest in the ONNX)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
-    width: int = 16
+
+class YuNet(nn.Module):
+    """yunet_n backbone + TFPN + anchor-free heads at strides 8/16/32.
+
+    ``width`` scales the 64-channel trunk (16-channel stem = width//4)
+    so tests can run tiny variants through the identical code path.
+    """
+
+    width: int = 64
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -81,33 +146,56 @@ class YuNet(nn.Module):
         ``{8: (cls, obj, box, kps), 16: ..., 32: ...}`` in NHWC.
         """
         w, dt = self.width, self.dtype
-        x = x.astype(dt)
-        # stride 2 → 4 stem
-        x = nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, dtype=dt, name="stem0")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5, dtype=dt, name="stem0_bn")(x)
-        x = nn.relu(x)
-        x = DWBlock(w, strides=(2, 2), dtype=dt, name="stem1")(x, train)
-        # stage s8
-        c3 = DWBlock(w * 2, strides=(2, 2), dtype=dt, name="s8_0")(x, train)
-        c3 = DWBlock(w * 2, dtype=dt, name="s8_1")(c3, train)
-        # stage s16
-        c4 = DWBlock(w * 4, strides=(2, 2), dtype=dt, name="s16_0")(c3, train)
-        c4 = DWBlock(w * 4, dtype=dt, name="s16_1")(c4, train)
-        # stage s32
-        c5 = DWBlock(w * 8, strides=(2, 2), dtype=dt, name="s32_0")(c4, train)
-        c5 = DWBlock(w * 8, dtype=dt, name="s32_1")(c5, train)
+        stem = max(w // 4, 2)
+        x = (x * 255.0).astype(dt)  # FaceDetectorYN feeds raw-pixel BGR
+        x = ConvHead(stem, stem, dtype=dt, name="model0")(x, train)        # s2
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))                          # s4
+        x = Conv4LayerBlock(w, dtype=dt, name="model1")(x, train)
+        x = Conv4LayerBlock(w, dtype=dt, name="model2")(x, train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))                          # s8
+        c3 = Conv4LayerBlock(w, dtype=dt, name="model3")(x, train)
+        x = nn.max_pool(c3, (2, 2), strides=(2, 2))                         # s16
+        c4 = Conv4LayerBlock(w, dtype=dt, name="model4")(x, train)
+        x = nn.max_pool(c4, (2, 2), strides=(2, 2))                         # s32
+        c5 = Conv4LayerBlock(w, dtype=dt, name="model5")(x, train)
 
-        # top-down FPN-lite (1×1 lateral + nearest upsample add)
-        p5 = nn.Conv(w * 4, (1, 1), use_bias=False, dtype=dt, name="lat5")(c5)
-        up5 = jnp.repeat(jnp.repeat(p5, 2, axis=1), 2, axis=2)
-        p4 = nn.Conv(w * 4, (1, 1), use_bias=False, dtype=dt, name="lat4")(c4) + up5
-        up4 = jnp.repeat(jnp.repeat(nn.Conv(w * 2, (1, 1), use_bias=False, dtype=dt, name="mid4")(p4), 2, axis=1), 2, axis=2)
-        p3 = nn.Conv(w * 2, (1, 1), use_bias=False, dtype=dt, name="lat3")(c3) + up4
+        # top-down FPN: merge by nearest-up + add, refine with a DP unit
+        p5 = ConvDPUnit(w, dtype=dt, name="neck2")(c5, train)
+        p4 = ConvDPUnit(w, dtype=dt, name="neck1")(c4 + _up2(p5), train)
+        p3 = ConvDPUnit(w, dtype=dt, name="neck0")(c3 + _up2(p4), train)
 
         out = {}
         for stride, feat in ((8, p3), (16, p4), (32, p5)):
             out[stride] = YuNetHead(dtype=dt, name=f"head_s{stride}")(feat, train)
         return out
+
+
+def yunet_layer_order() -> List[Tuple]:
+    """Parameterised layers in execution order for ONNX weight import
+    (see :func:`fire_tpu.models.onnx_import.assign_yunet`).  Entries are
+    (kind, flax_path, layer_eps)."""
+    order: List[Tuple] = []
+
+    def dp(path, bn=True):
+        order.append(("conv", path + ("conv1",)))
+        order.append(("conv", path + ("conv2",)))
+        if bn:
+            order.append(("bn", path + ("bn",), _BN_EPS))
+
+    order.append(("conv", ("model0", "conv1")))
+    order.append(("bn", ("model0", "bn1"), _BN_EPS))
+    dp(("model0", "conv2"))
+    for i in range(1, 6):
+        dp((f"model{i}", "conv1"))
+        dp((f"model{i}", "conv2"))
+    # ONNX graph order is execution order: neck2 (p5) runs first
+    for neck in ("neck2", "neck1", "neck0"):
+        dp((neck,))
+    for s in (8, 16, 32):
+        dp((f"head_s{s}", "feat"))
+        for o in ("cls", "obj", "box", "kps"):
+            dp((f"head_s{s}", o), bn=False)
+    return order
 
 
 def decode_yunet(

@@ -254,7 +254,8 @@ class BatchStreamEngine:
                 det_frames, boxes
             )
             flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
-            emb = eng.encoder.apply(enc_vars, flat)
+            enc_fn = getattr(eng, "_enc_fn", None) or eng.encoder.apply
+            emb = enc_fn(enc_vars, flat)
             emb = l2_normalize(emb).reshape(n_det, k_enc, -1)
             emb = emb * mask[..., None]
 

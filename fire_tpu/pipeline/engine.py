@@ -118,7 +118,14 @@ class DeviceEngine:
                 "Invalid detector_type. Choose from 'yunet', 'retinaface', 'mediapipe'."
             )
 
+        # forwards are pluggable so a real ONNX file whose topology we
+        # cannot map onto the hand-written Flax modules still runs (via
+        # the generic executor) inside the same fused jit graphs
+        self._enc_fn = lambda v, x: self.encoder.apply(v, x)
+        self._det_fn = lambda v, x: self.detector.apply(v, x)
+
         self._init_params(seed)
+        self._load_reference_weights()
         self._detect_jit_cache: Dict[Tuple[int, int], callable] = {}
 
     # -- parameters --------------------------------------------------------
@@ -184,6 +191,93 @@ class DeviceEngine:
         self.enc_vars = {"params": params, "batch_stats": stats}
         log.info("Imported FaceNet weights from %s.", facenet_onnx)
 
+    def load_yunet_onnx_weights(self, yunet_onnx: str) -> None:
+        """Import the OpenCV-zoo YuNet 2023mar weights (yunet.py:20-28)."""
+        from fire_tpu.models.onnx_import import assign_yunet, read_onnx
+
+        graph = read_onnx(yunet_onnx)
+        params, stats = assign_yunet(
+            jax.tree.map(np.asarray, self.det_vars["params"]),
+            jax.tree.map(np.asarray, self.det_vars["batch_stats"]),
+            graph,
+        )
+        self.det_vars = {"params": params, "batch_stats": stats}
+        log.info("Imported YuNet weights from %s.", yunet_onnx)
+
+    def _use_onnx_encoder(self, path: str) -> None:
+        """Run the FaceNet ONNX graph directly (NHWC [0,1] contract,
+        modules/encoder.py:19-27) via the generic executor."""
+        from fire_tpu.models.onnx_exec import make_onnx_fn
+        from fire_tpu.models.onnx_import import read_onnx
+
+        fn, params = make_onnx_fn(read_onnx(path))
+        self.enc_vars = jax.tree.map(jnp.asarray, params)
+        self._enc_fn = lambda v, x: fn(v, x)[0]
+        log.info("Encoder runs the exact ONNX graph from %s (executor).", path)
+
+    def _use_onnx_yunet(self, path: str) -> None:
+        """Run the YuNet ONNX graph directly.  The file takes raw-pixel
+        NCHW BGR and emits flattened (1, H·W, C) head maps named
+        cls_8..kps_32 — adapt to the NHWC-grid contract decode_yunet
+        expects."""
+        from fire_tpu.models.onnx_exec import make_onnx_fn
+        from fire_tpu.models.onnx_import import read_onnx
+
+        graph = read_onnx(path)
+        fn, params = make_onnx_fn(graph)
+        names = list(graph.outputs)
+        want = ["cls_8", "obj_8", "bbox_8", "kps_8", "cls_16", "obj_16",
+                "bbox_16", "kps_16", "cls_32", "obj_32", "bbox_32", "kps_32"]
+        if sorted(names) != sorted(want):
+            raise ValueError(f"unexpected YuNet output names {names}")
+        order = [names.index(n) for n in want]
+        det_h, det_w = self._detect_input
+
+        def det_fn(v, x01_nhwc):
+            outs = fn(v, jnp.transpose(x01_nhwc, (0, 3, 1, 2)) * 255.0)
+            outs = [outs[i] for i in order]
+            heads = {}
+            for level, stride in enumerate((8, 16, 32)):
+                h, w = det_h // stride, det_w // stride
+                cls, obj, box, kps = outs[4 * level : 4 * level + 4]
+                heads[stride] = tuple(
+                    a.astype(jnp.float32).reshape(1, h, w, a.shape[-1])
+                    for a in (cls, obj, box, kps)
+                )
+            return heads
+
+        self.det_vars = jax.tree.map(jnp.asarray, params)
+        self._det_fn = det_fn
+        log.info("Detector runs the exact ONNX graph from %s (executor).", path)
+
+    def _load_reference_weights(self) -> None:
+        """Probe cfg.weights_dir for the reference's ONNX files and
+        import them; on a topology mismatch fall back to executing the
+        file's exact graph.  LFS stubs / absent files keep the
+        deterministic random init (documented: SURVEY.md §7)."""
+        wdir = self.cfg.weights_dir
+        if not wdir or not os.path.isdir(wdir):
+            return
+        enc_path = os.path.join(wdir, f"facenet{self.cfg.encoder_model_type}.onnx")
+        if os.path.exists(enc_path):
+            try:
+                self.load_onnx_weights(enc_path)
+            except FileNotFoundError as e:  # LFS stub
+                log.info("%s", e)
+            except ValueError as e:
+                log.warning("FaceNet import mismatch (%s); executor fallback.", e)
+                self._use_onnx_encoder(enc_path)
+        if self.cfg.detector_type == "yunet":
+            det_path = os.path.join(wdir, "face_detection_yunet_2023mar.onnx")
+            if os.path.exists(det_path):
+                try:
+                    self.load_yunet_onnx_weights(det_path)
+                except FileNotFoundError as e:
+                    log.info("%s", e)
+                except ValueError as e:
+                    log.warning("YuNet import mismatch (%s); executor fallback.", e)
+                    self._use_onnx_yunet(det_path)
+
     # -- detection ---------------------------------------------------------
 
     def _build_detect(self, frame_hw: Tuple[int, int]):
@@ -213,7 +307,7 @@ class DeviceEngine:
                     nms_threshold=cfg.retinaface_nms_threshold,
                     max_faces=max_faces,
                 )
-            heads = detector.apply(det_vars, x)
+            heads = self._det_fn(det_vars, x)
             return decode_yunet(
                 heads, scale,
                 conf_threshold=cfg.yunet_conf_threshold,
@@ -269,7 +363,7 @@ class DeviceEngine:
     @partial(jax.jit, static_argnames=("self",))
     def _encode_batch(self, enc_vars, faces01):
         """faces01: (B, 160, 160, 3) RGB in [0,1] → (B, D) L2-normalized."""
-        emb = self.encoder.apply(enc_vars, faces01)
+        emb = self._enc_fn(enc_vars, faces01)
         return l2_normalize(emb)
 
     def _encode_boxes_jit(self, frame_hw: Tuple[int, int], bucket: int):
@@ -281,7 +375,7 @@ class DeviceEngine:
             def run(enc_vars, frame_u8, boxes):
                 img = frame_u8.astype(jnp.float32) / 255.0
                 crops = crop_and_resize_mm(img, boxes, size)  # BGR, MXU resampling
-                emb = self.encoder.apply(enc_vars, bgr_to_rgb(crops))
+                emb = self._enc_fn(enc_vars, bgr_to_rgb(crops))
                 return l2_normalize(emb)
 
             fn = jax.jit(run)

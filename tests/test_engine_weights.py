@@ -1,0 +1,81 @@
+"""DeviceEngine startup weight loading: ONNX import + executor fallback.
+
+Covers the three real-world cases for cfg.weights_dir
+(facenet_gpu.py:99-114, yunet.py:20-28 are the reference loaders):
+LFS stubs keep the random init, a matching-topology file imports into
+the Flax modules, and a mismatched-topology file falls back to running
+the exact ONNX graph via fire_tpu.models.onnx_exec.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fire_tpu.config import EngineConfig, RecognizerConfig
+from fire_tpu.models import onnx_export as oe
+from fire_tpu.pipeline.engine import DeviceEngine
+
+
+def _cfg(weights_dir, detector="yunet"):
+    return RecognizerConfig(
+        detector_type=detector,
+        encoder_model_type="128",
+        weights_dir=weights_dir,
+        engine=EngineConfig(detect_size=(64, 64), max_faces=8, max_encode=4),
+    ).with_embedding_dim()
+
+
+def test_stub_weights_keep_random_init(tmp_path):
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    for name in ("facenet128.onnx", "face_detection_yunet_2023mar.onnx"):
+        (wdir / name).write_bytes(
+            b"version https://git-lfs.github.com/spec/v1\noid sha256:x\nsize 1\n")
+    eng = DeviceEngine(_cfg(str(wdir)))
+    # random init still in place, default Flax forwards
+    assert "params" in eng.enc_vars and "params" in eng.det_vars
+
+
+def test_matching_topology_imports_into_flax(tmp_path):
+    """A real-topology facenet128.onnx (built from a source engine's own
+    variables) must load: the second engine's weights become identical."""
+    src = DeviceEngine(_cfg(None))
+    blob = oe.export_facenet(
+        jax.tree.map(np.asarray, src.enc_vars), embed_dim=128)
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    (wdir / "facenet128.onnx").write_bytes(blob)
+
+    dst = DeviceEngine(_cfg(str(wdir)), seed=123)  # different random init
+    a = np.asarray(src.enc_vars["params"]["stem0"]["conv"]["kernel"])
+    b = np.asarray(dst.enc_vars["params"]["stem0"]["conv"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    c = np.asarray(src.enc_vars["batch_stats"]["bottleneck_bn"]["var"])
+    d = np.asarray(dst.enc_vars["batch_stats"]["bottleneck_bn"]["var"])
+    np.testing.assert_allclose(c, d, rtol=1e-6)
+
+
+def test_mismatched_yunet_falls_back_to_executor(tmp_path, rng):
+    """A width-8 YuNet export cannot map onto the width-64 Flax model —
+    the engine must run the file's exact graph instead, end to end
+    through detect_faces()."""
+    from fire_tpu.models.yunet import YuNet
+
+    tiny = YuNet(width=8, dtype=jnp.float32)
+    variables = jax.tree.map(
+        np.asarray, tiny.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    blob = oe.export_yunet(variables, width=8, image_hw=(64, 64))
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    (wdir / "face_detection_yunet_2023mar.onnx").write_bytes(blob)
+
+    eng = DeviceEngine(_cfg(str(wdir)))
+    # fallback active: det_vars is now the executor's flat param dict
+    assert "params" not in eng.det_vars
+    frame = (rng.random((48, 60, 3)) * 255).astype(np.uint8)
+    out = eng.detect_faces(frame)  # runs the ONNX graph inside the jit
+    assert isinstance(out, list)  # untrained weights → likely no faces
