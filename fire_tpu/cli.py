@@ -19,44 +19,44 @@ def build_parser() -> argparse.ArgumentParser:
         description="Face Recognition System with Encryption and Custom Filenames (TPU-native)"
     )
     p.add_argument("--mode", type=str, default="image", choices=["image", "video", "webcam"],
-                   help="Mode of operation: image, video, or webcam")
-    p.add_argument("--input", type=str, default=None, help="Path to input image or video file")
-    p.add_argument("--save", type=str, default=None, help="Path to save the annotated output")
+                   help="Which pipeline to run: one still image, a video file, or a live webcam stream")
+    p.add_argument("--input", type=str, default=None, help="Input image/video location on disk")
+    p.add_argument("--save", type=str, default=None, help="Where to write the annotated result")
     p.add_argument("--label", type=str, default=None,
-                   help="Label/name for adding a new face (image mode) or renaming recognized faces (webcam mode)")
-    p.add_argument("--log", action="store_true", help="Enable detailed logging")
-    p.add_argument("--show", action="store_true", help="Enable display of processed frames")
-    p.add_argument("--password", type=str, default=None, help="Password for encrypting/decrypting files")
+                   help="Identity name: enrolls/relabels the matched face in image mode, renames recognized faces in webcam mode")
+    p.add_argument("--log", action="store_true", help="Verbose INFO-level logging (default: critical only)")
+    p.add_argument("--show", action="store_true", help="Open a window showing each processed frame (press q to stop streams)")
+    p.add_argument("--password", type=str, default=None, help="Enables at-rest encryption: database, index files and saved outputs are Fernet-encrypted with a key derived from this password")
     p.add_argument("--detector", type=str, default="mediapipe",
                    choices=["mediapipe", "yunet", "retinaface"],
                    help="Detector type (mediapipe selects the BlazeFace-class fast path)")
     p.add_argument("--encoder", type=str, default=None, choices=["128", "512"],
-                   help='Encoder type: "128" for FaceNet-128 and "512" for FaceNet-512')
+                   help="FaceNet embedding width: 128-d or 512-d")
     p.add_argument("--encoder_mode", type=str, default="cpu_optimized",
                    choices=["cpu_optimized", "gpu_optimized"],
                    help="Accepted for compatibility; the TPU engine ignores it")
-    p.add_argument("--align", action="store_true", help="Enable face alignment")
+    p.add_argument("--align", action="store_true", help="3-point affine alignment of crops before encoding")
     p.add_argument("--detection_interval", type=int, default=1,
-                   help="Number of frames to skip for face detection, use 1 for images")
-    p.add_argument("--core", type=int, default=0, help="0 use all cores, 1 use 1 core")
+                   help="Run the detector every Nth frame; the tracker coasts in between (1 = every frame)")
+    p.add_argument("--core", type=int, default=0, help="Set to 1 to pin the process to a single CPU core (benchmarking aid)")
     g = p.add_mutually_exclusive_group()
     g.add_argument("--annotate", dest="annotate", action="store_true",
-                   help="Enable drawing bounding boxes and labels")
+                   help="Draw boxes + identity labels on output frames (default)")
     g.add_argument("--no-annotate", dest="annotate", action="store_false",
-                   help="Disable drawing bounding boxes and labels")
+                   help="Emit frames without any drawn overlays")
     p.set_defaults(annotate=True)
     p.add_argument("--hnsw_index_path", type=str, default=None,
-                   help="Custom path for the gallery index file")
+                   help="Override the default location of the gallery index file")
     p.add_argument("--hnsw_labels_path", type=str, default=None,
-                   help="Custom path for the gallery labels file")
+                   help="Override the default location of the gallery labels file")
     p.add_argument("--hnsw_db_ids_path", type=str, default=None,
-                   help="Custom path for the gallery DB IDs file")
+                   help="Override the default location of the gallery DB-id mapping file")
     p.add_argument("--sqlite_db_path", type=str, default=None,
-                   help="Custom path for the SQLite database file (unencrypted)")
+                   help="Override the default unencrypted SQLite database location")
     p.add_argument("--sqlite_db_encrypted_path", type=str, default=None,
-                   help="Custom path for the encrypted SQLite database file")
+                   help="Override the default encrypted SQLite database location")
     p.add_argument("--interested_label", type=str, default=None,
-                   help="If set, only faces with this label will be recognized/maintained")
+                   help="Restrict emitted results to a single identity")
     p.add_argument("--batch_size", type=int, default=0,
                    help="Video mode: frames per device step (0 = classic per-frame pipeline)")
     p.add_argument("--profile", type=str, default=None,

@@ -171,14 +171,35 @@ def _track_scan(
     e_frame = jnp.where(valid, (top // t_cap).astype(jnp.int32), -1)
     e_slot = (top % t_cap).astype(jnp.int32)
     e_emb = emb.reshape(b * t_cap, -1)[top] * valid[:, None]
+
+    # Starvation guard: a track that fired `enroll` but was compacted
+    # out of the MAX_ENROLL buffer latched pending=True without ever
+    # reaching the host — clear pending for the undelivered so enroll
+    # re-fires next batch (a crowd of >8 new identities in one batch
+    # enrolls across ceil(n/8) batches instead of never).
+    delivered = jnp.zeros((t_cap,), bool).at[
+        jnp.where(valid, e_slot, t_cap)
+    ].set(True, mode="drop")
+    fired = enroll.any(axis=0)
+    state = state._replace(pending=state.pending & ~(fired & ~delivered))
     return state, BatchResults(
         tid, boxes, gid, sim, mask, enroll, e_emb, e_frame, e_slot
     )
 
 
 def pack_results(res: BatchResults) -> jnp.ndarray:
-    """Flatten a BatchResults into one f32 vector (single D2H)."""
-    parts = [jnp.ravel(x).astype(jnp.float32) for x in res]
+    """Flatten a BatchResults into one f32 vector (single D2H).
+
+    int32 lanes are BIT-CAST into the f32 buffer (value-casting through
+    f32 is exact only up to 2^24 — long-running streams overflow track
+    ids); bool/f32 lanes ride as values."""
+    parts = []
+    for x in res:
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            parts.append(jax.lax.bitcast_convert_type(
+                jnp.ravel(x).astype(jnp.int32), jnp.float32))
+        else:
+            parts.append(jnp.ravel(x).astype(jnp.float32))
     return jnp.concatenate(parts)
 
 
@@ -192,7 +213,11 @@ def unpack_results(buf: np.ndarray, b: int, t: int, d: int) -> BatchResults:
               np.float32, np.int32, np.int32]
     out, off = [], 0
     for n, shp, dt in zip(sizes, shapes, dtypes):
-        out.append(buf[off : off + n].reshape(shp).astype(dt))
+        chunk = buf[off : off + n]
+        if np.issubdtype(dt, np.integer):
+            out.append(chunk.view(np.int32).reshape(shp))
+        else:
+            out.append(chunk.reshape(shp).astype(dt))
         off += n
     return BatchResults(*out)
 

@@ -694,22 +694,39 @@ class FaceRecognition:
         annotate: bool = True,
         save_path: Optional[str] = None,
         batch_size: int = 0,
+        duration: int = 0,
+        name: Optional[str] = None,
     ) -> None:
         """``batch_size > 0`` selects the batched device-resident
         pipeline (fire_tpu.pipeline.batch_engine) — B frames per device
-        step, the maximum-throughput path."""
+        step, the maximum-throughput path.  Both paths honor the full
+        stream contract: encrypted output, --show with 'q' quit,
+        duration, rename label (face_recognition.py:739-834)."""
         cap = cv2.VideoCapture(video_path)
         if not cap.isOpened():
             log.error("Cannot open video file: %s", video_path)
             return
         if batch_size > 0:
-            self._process_stream_batched(cap, annotate, save_path, batch_size)
+            self._process_stream_batched(
+                cap, annotate, save_path, batch_size, duration, name,
+                stream_type="video",
+            )
         else:
-            self._process_stream(cap, annotate, save_path, stream_type="video")
+            self._process_stream(cap, annotate, save_path, duration, name,
+                                 stream_type="video")
 
     def _process_stream_batched(
-        self, cap, annotate: bool, save_path: Optional[str], batch_size: int
+        self, cap, annotate: bool, save_path: Optional[str], batch_size: int,
+        duration: int = 0, name: Optional[str] = None,
+        stream_type: str = "video",
     ) -> None:
+        """Batched stream loop with one batch in flight: batch i+1 is
+        submitted before batch i is collected, so host annotate/write
+        and the next H2D overlap device compute (the double-buffering
+        SURVEY.md §2.3 calls for).  Behavioural contract matches
+        _process_stream: encrypted temp-file output
+        (face_recognition.py:750-758,810-821), --show + 'q' quit
+        (:795-800), duration cap, rename label."""
         from fire_tpu.pipeline.batch_engine import BatchStreamEngine, stream_results
 
         interval = (
@@ -721,53 +738,100 @@ class FaceRecognition:
             self.engine, self.gallery, self.cfg, detection_interval=interval
         )
         out = None
+        temp_video_path = None
         if save_path:
             _ensure_parent_dir(save_path)
             fps = cap.get(cv2.CAP_PROP_FPS) or 30
+            if fps == 0:
+                fps = 30
             wh = (
                 int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
                 int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
             )
-            out = cv2.VideoWriter(save_path, cv2.VideoWriter_fourcc(*"XVID"), fps, wh)
+            fourcc = cv2.VideoWriter_fourcc(*"XVID")
+            if self.encryptor:
+                fd, temp_video_path = tempfile.mkstemp(suffix=".avi")
+                os.close(fd)
+                out = cv2.VideoWriter(temp_video_path, fourcc, fps, wh)
+            else:
+                out = cv2.VideoWriter(save_path, fourcc, fps, wh)
+            if not out.isOpened():
+                log.error("Failed to open video writer.")
+                return
         self.timer = StageTimer()
         self.timer.start()
         reader = PrefetchReader(cap)
-        batch = []
-        try:
-            def flush(batch):
-                frames = np.stack(batch)
-                res = bse.process_batch(frames)
-                for frame, faces in zip(batch, stream_results(self, res)):
-                    self.timer.tick_frame()
-                    if out is not None:
-                        out.write(
-                            annotate_faces(frame, faces, with_confidence=True)
-                            if annotate else frame
-                        )
 
+        def emit(token, frames) -> bool:
+            """Collect one in-flight batch, annotate/show/write its
+            frames.  Returns False when the loop must stop."""
+            t0 = time.time()
+            res = bse.collect(token)
+            # fused detect+encode+match+track device step (stall time —
+            # compute overlapped with the host work since submit)
+            self.timer.add("device step (detect+encode+match+track)",
+                           time.time() - t0)
+            self.counters["faces_detected"] += int(res.mask.sum())
+            for frame, faces in zip(frames, stream_results(self, res, rename_label=name)):
+                self.timer.tick_frame()
+                annotated = (
+                    annotate_faces(frame, faces, with_confidence=True)
+                    if annotate else frame
+                )
+                if self.show:
+                    cv2.imshow(
+                        f"Face Recognition - {stream_type.capitalize()}",
+                        resize_frame_to_screen(annotated),
+                    )
+                    if cv2.waitKey(1) & 0xFF == ord("q"):
+                        log.info("User requested to quit %s processing.", stream_type)
+                        return False
+                if out is not None:
+                    out.write(annotated)
+            if duration > 0 and (time.time() - self.timer.start_time) >= duration:
+                log.info("Duration of %d seconds reached. Stopping.", duration)
+                return False
+            return True
+
+        inflight = None  # (token, frames) — one batch pipelined ahead
+        try:
+            batch = []
+            stopped = False
             for frame in reader.frames():
                 batch.append(frame)
                 if len(batch) == batch_size:
-                    flush(batch)
+                    token = bse.submit(np.stack(batch))
+                    prev, inflight = inflight, (token, batch)
                     batch = []
-            if batch:
+                    if prev is not None and not emit(*prev):
+                        stopped = True
+                        break
+            if not stopped and batch:
                 # tail: pad by repeating the last frame; drop pad outputs
                 pad = batch + [batch[-1]] * (batch_size - len(batch))
-                frames = np.stack(pad)
-                res = bse.process_batch(frames)
-                for frame, faces in list(zip(batch, stream_results(self, res)))[: len(batch)]:
-                    self.timer.tick_frame()
-                    if out is not None:
-                        out.write(
-                            annotate_faces(frame, faces, with_confidence=True)
-                            if annotate else frame
-                        )
+                token = bse.submit(np.stack(pad))
+                if inflight is not None:
+                    stopped = not emit(*inflight)
+                inflight = (token, batch)  # emit() zips only real frames
+            if not stopped and inflight is not None:
+                emit(*inflight)
         finally:
             reader.close()
             cap.release()
             if out is not None:
                 out.release()
-                log.info("Annotated video saved to %s", save_path)
+                if self.encryptor and save_path and temp_video_path:
+                    try:
+                        with open(temp_video_path, "rb") as f:
+                            self.encryptor.encrypt_and_write(save_path, f.read())
+                        os.remove(temp_video_path)
+                        log.info("Encrypted video saved to %s", save_path)
+                    except Exception as e:
+                        log.error("Error during encryption of video: %s", e)
+                elif save_path:
+                    log.info("Annotated video saved to %s", save_path)
+            if self.show:
+                cv2.destroyAllWindows()
 
     def process_webcam(
         self, annotate: bool = True, save_path: Optional[str] = None,

@@ -66,10 +66,13 @@ class StageTimer:
         log.info("Total frames processed: %d", self.frame_count)
         log.info("Total processing time: %.2f seconds", elapsed)
         log.info("Average FPS: %.2f", fps)
-        for name in ("detection", "encoding"):
-            if name in self.totals:
-                log.info(
-                    "Average %s Time: %.2f ms/frame",
-                    name.capitalize(),
-                    self.totals[name] / self.frame_count * 1000.0,
-                )
+        # reference prints detection/encoding (face_recognition.py:870-876);
+        # the batched pipeline reports its fused device step the same way
+        ordered = [n for n in ("detection", "encoding") if n in self.totals]
+        ordered += [n for n in self.totals if n not in ("detection", "encoding")]
+        for name in ordered:
+            log.info(
+                "Average %s Time: %.2f ms/frame",
+                name.capitalize(),
+                self.totals[name] / self.frame_count * 1000.0,
+            )

@@ -29,14 +29,17 @@ from fire_tpu.ops.boxes import iou_matrix_xywh
 BIG = 1e9
 
 
-@jax.jit
-def cost_matrix(det_boxes: jnp.ndarray, trk_boxes: jnp.ndarray) -> jnp.ndarray:
-    """(D, T) cost = (1 − IoU) + centre_dist/200 (sort_UKF.py:412-431)."""
+@partial(jax.jit, static_argnames=("max_distance",))
+def cost_matrix(det_boxes: jnp.ndarray, trk_boxes: jnp.ndarray,
+                max_distance: float = 200.0) -> jnp.ndarray:
+    """(D, T) cost = (1 − IoU) + centre_dist/max_distance
+    (sort_UKF.py:412-431; the 200-px normaliser is
+    TrackerConfig.max_distance, sort_UKF.py:307)."""
     iou = iou_matrix_xywh(det_boxes, trk_boxes)
     dc = det_boxes[:, :2] + det_boxes[:, 2:4] / 2.0
     tc = trk_boxes[:, :2] + trk_boxes[:, 2:4] / 2.0
     dist = jnp.linalg.norm(dc[:, None, :] - tc[None, :, :], axis=-1)
-    return (1.0 - iou) + dist / 200.0
+    return (1.0 - iou) + dist / max_distance
 
 
 def hungarian_assign(

@@ -228,12 +228,30 @@ def sort_step(
     """One fully-jitted frame step with device greedy assignment —
     the maximum-throughput path (no host sync)."""
     table, trk_boxes = predict_tracks(table, cfg)
-    cost = assign.cost_matrix(det_boxes.astype(jnp.float32), trk_boxes)
+    cost = assign.cost_matrix(det_boxes.astype(jnp.float32), trk_boxes,
+                              max_distance=cfg.max_distance)
     gate = (1.0 - cfg.iou_threshold) + 1.0
     match = assign.greedy_assign(
         cost, det_mask, table.active, gate, max_pairs=min(det_boxes.shape[0], table.x.shape[0])
     )
     return apply_assignment(table, det_boxes.astype(jnp.float32), det_mask, match, cfg)
+
+
+@jax.jit
+def _pack_outputs(out: TrackOutputs) -> jnp.ndarray:
+    """(7T,) f32: tid ‖ boxes(4) ‖ age ‖ mask — int32 lanes bit-cast so
+    readback is exact for any id magnitude."""
+    bc = lambda x: jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+    return jnp.concatenate([
+        bc(out.tid), bc(out.boxes).reshape(-1), bc(out.age),
+        out.mask.astype(jnp.float32),
+    ])
+
+
+@jax.jit
+def _pack_cost_active(cost: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """(D·T + T,) f32: cost matrix ‖ active mask in one transfer."""
+    return jnp.concatenate([cost.reshape(-1), active.astype(jnp.float32)])
 
 
 class Sort:
@@ -270,19 +288,30 @@ class Sort:
             self.table, out = sort_step(self.table, jb, jm, cfg)
         else:
             self.table, trk_boxes = predict_tracks(self.table, cfg)
-            cost = assign.cost_matrix(jb, trk_boxes)
-            gate = (1.0 - cfg.iou_threshold) + 1.0
-            match = assign.hungarian_assign(
-                np.asarray(cost), det_mask, np.asarray(self.table.active), gate
+            # ONE readback for the host Hungarian inputs (cost ‖ active):
+            # per-transfer D2H latency dominates this path on the
+            # tunnelled platform (~30 ms each)
+            packed = _pack_cost_active(
+                assign.cost_matrix(jb, trk_boxes, max_distance=cfg.max_distance),
+                self.table.active,
             )
+            packed = np.asarray(packed)
+            t_cap = self.table.x.shape[0]
+            cost = packed[: d_cap * t_cap].reshape(d_cap, t_cap)
+            active = packed[d_cap * t_cap :] > 0.5
+            gate = (1.0 - cfg.iou_threshold) + 1.0
+            match = assign.hungarian_assign(cost, det_mask, active, gate)
             self.table, out = apply_assignment(
                 self.table, jb, jm, jax.device_put(match), cfg
             )
 
-        mask = np.asarray(out.mask)
-        tids = np.asarray(out.tid)
-        boxes = np.asarray(out.boxes)
-        ages = np.asarray(out.age)
+        # ONE readback for the outputs (tid ‖ boxes ‖ age ‖ mask),
+        # int32 lanes bit-cast — was 4 separate transfers (VERDICT r1 #7)
+        buf = np.asarray(_pack_outputs(out))
+        t = buf.shape[0] // 7
+        ints = buf[: 6 * t].view(np.int32)
+        tids, boxes, ages = ints[:t], ints[t : 5 * t].reshape(t, 4), ints[5 * t : 6 * t]
+        mask = buf[6 * t :] > 0.5
         return [
             {"id": int(tids[i]), "bbox": [int(v) for v in boxes[i]], "age": int(ages[i])}
             for i in np.nonzero(mask)[0]

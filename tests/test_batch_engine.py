@@ -23,7 +23,7 @@ DIM = 128
 MAXF = 8
 
 
-def _fake_engine():
+def _fake_engine(maxf: int = MAXF):
     """Detect: row 0 of the frame encodes [n, x,y,w,h, ...] (÷1 ints).
     Encode: crop mean intensity m → one-hot(round(m*255/10))."""
 
@@ -31,13 +31,13 @@ def _fake_engine():
         def body(det_vars, frame):
             row = frame[0, :, 0].astype(jnp.float32)
             n = row[0].astype(jnp.int32)
-            idx = jnp.arange(MAXF)
+            idx = jnp.arange(maxf)
             boxes = jnp.stack(
                 [row[1 + 4 * idx], row[2 + 4 * idx], row[3 + 4 * idx], row[4 + 4 * idx]],
                 axis=-1,
             )
             mask = idx < n
-            lms = jnp.zeros((MAXF, 5, 2), jnp.float32)
+            lms = jnp.zeros((maxf, 5, 2), jnp.float32)
             scores = jnp.where(mask, 0.99, 0.0)
             return Detections(boxes * mask[:, None], lms, scores, mask)
 
@@ -201,3 +201,32 @@ def test_detection_interval_coasting(bse):
     assert res3.mask.sum() > 0
     # coast frames carry no detections → src embeddings only on detect frames
     assert (res.enroll_frame[res.enroll_frame >= 0] % 4 == 0).all()
+
+
+def test_enroll_starvation_more_than_max_enroll(bse):
+    """>MAX_ENROLL brand-new identities in one batch: the 8-slot
+    candidate buffer delivers 8, and the rest must RE-FIRE next batch
+    instead of staying pending forever (VERDICT r1 #5 / ADVICE #2)."""
+    from fire_tpu.pipeline.batch_engine import MAX_ENROLL
+
+    cfg = RecognizerConfig(similarity_threshold=0.7, unknown_trigger_count=1)
+    object.__setattr__(cfg.gallery, "embedding_dim", DIM)
+    gal = DeviceGallery(DIM, capacity=1000)
+    eng = _fake_engine(maxf=16)
+    b = BatchStreamEngine(eng, gal, cfg, TrackerConfig(), encode_k=16)
+
+    # 12 distinct identities, all visible in every frame of the batch
+    faces = [((2 + 15 * (i % 4), 14 + 16 * (i // 4), 12, 12), i + 1) for i in range(12)]
+    frames = np.stack([_frame(faces) for _ in range(8)])
+
+    res1 = b.process_batch(frames)
+    assert res1.enroll.sum() == 12  # all crossed the trigger this batch
+    assert (res1.enroll_frame >= 0).sum() == MAX_ENROLL  # buffer is full
+    slots1 = set(res1.enroll_slot[res1.enroll_frame >= 0].tolist())
+
+    res2 = b.process_batch(frames)
+    delivered2 = res2.enroll_frame >= 0
+    slots2 = set(res2.enroll_slot[delivered2].tolist())
+    assert delivered2.sum() == 12 - MAX_ENROLL  # the starved 4 re-fired
+    assert len(slots1 | slots2) == 12  # every identity reached the host
+    assert slots1.isdisjoint(slots2)
