@@ -52,8 +52,10 @@ class TrackerConfig:
     min_wh: float = 10.0
     max_wh: float = 720.0
 
-    # "hungarian" = exact reference parity (host/native LAP);
-    # "greedy" = fully-jitted device assignment (fast path).
+    # "hungarian" = exact reference optimum, solved ON DEVICE inside jit
+    # (JV shortest-augmenting-path, track/assignment.py:lap_assign);
+    # "hungarian_host" = the same optimum on host (native C++/SciPy,
+    # kept as the float64 oracle); "greedy" = cheaper device matching.
     assignment: str = "hungarian"
 
 
@@ -172,6 +174,11 @@ class RecognizerConfig:
     retinaface_threshold: float = 0.9
     retinaface_nms_threshold: float = 0.4
     blazeface_conf_threshold: float = 0.8
+    # The reference's mediapipe extract_faces path runs a SECOND detector
+    # config (model_selection=0, min_detection_confidence=0.5,
+    # mediapipe_face_detector.py:109-131) — honored here as a lower
+    # confidence threshold on the extraction detect variant.
+    blazeface_extract_conf_threshold: float = 0.5
 
     @property
     def embedding_dim(self) -> int:

@@ -22,6 +22,16 @@ whole-file format) — the index file holds our dense matrix (.npy bytes)
 rather than an hnswlib graph; a legacy hnswlib .bin fails to parse and
 triggers the rebuild-from-SQLite recovery path, which is lossless since
 SQLite is the source of truth.
+
+Saves are **incremental**: the triplet is a compacted snapshot, and
+rows enrolled since the last compaction are appended to a sidecar
+journal (``<index>.journal``, length-prefixed records, individually
+encrypted in encrypted mode).  A busy stream's per-enrollment flush
+(face_recognition.py:358-365 semantics) appends ~2 KB instead of
+rewriting the full 100k×512 matrix (~200 MB); compaction folds the
+journal back into the snapshot when it exceeds a threshold, when
+labels change (rename/unify), or on close.  A corrupt journal is
+treated like a corrupt index: fresh gallery, rebuilt from SQLite.
 """
 
 from __future__ import annotations
@@ -80,6 +90,7 @@ class DeviceGallery:
         db_ids_path: Optional[str] = None,
         encryptor: Optional[Encryptor] = None,
         capacity: int = 100_000,
+        journal_compact_threshold: int = 4096,
     ):
         self.embedding_dim = embedding_dim
         self.capacity = capacity
@@ -88,10 +99,16 @@ class DeviceGallery:
         self.labels_path = labels_path
         self.db_ids_path = db_ids_path
         self.encryptor = encryptor
+        self.journal_compact_threshold = journal_compact_threshold
 
         self.labels: List[str] = []
         self.db_ids: List[int] = []
         self._gal = jnp.zeros((self.padded, embedding_dim), jnp.float32)
+        # incremental-persistence bookkeeping: rows covered by the
+        # snapshot triplet / the sidecar journal on disk
+        self._snapshot_rows = 0
+        self._journal_rows = 0
+        self._labels_dirty = False  # a rename touched snapshot rows
 
         paths = [index_path, labels_path, db_ids_path]
         if all(p and os.path.exists(p) for p in paths):
@@ -126,6 +143,48 @@ class DeviceGallery:
             with open(path, "wb") as f:
                 f.write(data)
 
+    @property
+    def _journal_path(self) -> Optional[str]:
+        return self.index_path + ".journal" if self.index_path else None
+
+    def _read_journal(self):
+        """Yield (label, db_id, vec) tuples from the sidecar journal.
+        Raises on any malformed record (caller treats as corrupt)."""
+        path = self._journal_path
+        if not path or not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            data = f.read()
+        off = 0
+        while off < len(data):
+            if off + 4 > len(data):
+                raise ValueError("truncated journal record header")
+            n = int.from_bytes(data[off : off + 4], "little")
+            off += 4
+            if off + n > len(data):
+                raise ValueError("truncated journal record payload")
+            payload = data[off : off + n]
+            off += n
+            if self.encryptor:
+                payload = self.encryptor.decrypt_data(payload)
+            for label, db_id, blob in pickle.loads(payload):
+                vec = np.frombuffer(blob, np.float32)
+                if vec.shape[0] != self.embedding_dim:
+                    raise ValueError("journal row dim mismatch")
+                yield label, int(db_id), vec
+
+    def _append_journal(self, rows) -> None:
+        """Append one length-prefixed record holding ``rows`` =
+        [(label, db_id, vec), ...]."""
+        payload = pickle.dumps(
+            [(label, db_id, np.asarray(vec, np.float32).tobytes()) for label, db_id, vec in rows]
+        )
+        if self.encryptor:
+            payload = self.encryptor.encrypt_data(payload)
+        with open(self._journal_path, "ab") as f:
+            f.write(len(payload).to_bytes(4, "little"))
+            f.write(payload)
+
     def _load(self) -> None:
         try:
             buf = io.BytesIO(self._read(self.index_path))
@@ -138,19 +197,62 @@ class DeviceGallery:
             self.db_ids = list(db_ids)
             gal = np.zeros((self.padded, self.embedding_dim), np.float32)
             gal[: len(labels)] = mat
+            self._snapshot_rows = len(labels)
+            # replay rows journaled since the last compaction
+            n_journal = 0
+            for label, db_id, vec in self._read_journal():
+                if self.count >= self.capacity:
+                    break
+                gal[self.count] = vec
+                self.labels.append(label)
+                self.db_ids.append(db_id)
+                n_journal += 1
+            self._journal_rows = n_journal
             self._gal = jnp.asarray(gal)
-            log.info("Loaded gallery (%d identities) from disk.", self.count)
+            log.info(
+                "Loaded gallery (%d identities: %d snapshot + %d journal) from disk.",
+                self.count, self._snapshot_rows, n_journal,
+            )
         except Exception as e:
-            # corrupt/legacy index → fresh, caller rebuilds from SQLite
-            # (hnsw_manager.py:69-76)
+            # corrupt/legacy index or journal → fresh, caller rebuilds
+            # from SQLite (hnsw_manager.py:69-76)
             log.error("Error loading gallery index: %s", e)
             self.labels, self.db_ids = [], []
             self._gal = jnp.zeros((self.padded, self.embedding_dim), jnp.float32)
+            self._snapshot_rows = self._journal_rows = 0
             log.info("Initialized a new gallery due to loading failure.")
 
-    def save(self) -> None:
-        """Persist the triplet (hnsw_manager.py:78-112 layout)."""
+    def save(self, compact: bool = False) -> None:
+        """Persist state (hnsw_manager.py:78-112 triplet layout).
+
+        Incremental by default: new rows since the last write are
+        appended to the journal; the full snapshot is rewritten only
+        when ``compact`` is set, labels changed (rename/unify), the
+        journal crossed ``journal_compact_threshold`` rows, or no
+        snapshot exists yet.
+        """
         if not (self.index_path and self.labels_path and self.db_ids_path):
+            return
+        persisted = self._snapshot_rows + self._journal_rows
+        have_snapshot = os.path.exists(self.index_path)
+        journal_after = self._journal_rows + (self.count - persisted)
+        must_compact = (
+            compact
+            or self._labels_dirty
+            or not have_snapshot
+            or journal_after > self.journal_compact_threshold
+        )
+        if not must_compact:
+            if self.count == persisted:
+                return  # nothing new
+            fresh = np.asarray(self._gal[persisted : self.count])  # one D2H
+            rows = [
+                (self.labels[i], self.db_ids[i], fresh[i - persisted])
+                for i in range(persisted, self.count)
+            ]
+            self._append_journal(rows)
+            self._journal_rows += len(rows)
+            log.info("Appended %d rows to gallery journal.", len(rows))
             return
         mat = np.asarray(self._gal[: self.count])
         buf = io.BytesIO()
@@ -158,7 +260,13 @@ class DeviceGallery:
         self._write(self.index_path, buf.getvalue())
         self._write(self.labels_path, pickle.dumps(self.labels))
         self._write(self.db_ids_path, pickle.dumps(self.db_ids))
-        log.info("Saved gallery index and mappings to disk.")
+        jp = self._journal_path
+        if jp and os.path.exists(jp):
+            os.remove(jp)
+        self._snapshot_rows = self.count
+        self._journal_rows = 0
+        self._labels_dirty = False
+        log.info("Saved gallery index and mappings to disk (compacted).")
 
     save_hnswlib_index = save  # orchestrator-facing alias
 
@@ -256,6 +364,7 @@ class DeviceGallery:
         db_id = self.db_ids[gid]
         store.update_label(db_id, new_label)
         self.labels[gid] = new_label
+        self._labels_dirty = True  # snapshot rows changed → compact
         self.save()
 
     def unify_labels(self, gids: List[int], new_label: str, store) -> None:
@@ -264,6 +373,7 @@ class DeviceGallery:
         store.update_labels([self.db_ids[g] for g in gids], new_label)
         for g in gids:
             self.labels[g] = new_label
+        self._labels_dirty = True  # snapshot rows changed → compact
         log.info("Unified %d embeddings under label '%s'.", len(gids), new_label)
         self.save()
 

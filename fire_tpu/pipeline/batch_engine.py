@@ -188,23 +188,26 @@ def _track_scan(
 
 
 def pack_results(res: BatchResults) -> jnp.ndarray:
-    """Flatten a BatchResults into one f32 vector (single D2H).
+    """Flatten a BatchResults into one **int32** vector (single D2H).
 
-    int32 lanes are BIT-CAST into the f32 buffer (value-casting through
-    f32 is exact only up to 2^24 — long-running streams overflow track
-    ids); bool/f32 lanes ride as values."""
+    The carrier is int32, not f32: small ints bit-cast into f32 are
+    denormals, and the TPU pipeline flushes denormals to zero (verified
+    on hardware — ids/boxes read back as 0).  Integer lanes ride as
+    values (exact at any magnitude, unlike value-casting through f32
+    which is exact only up to 2^24); f32 lanes are bit-cast into the
+    int32 buffer, which is lossless both ways."""
     parts = []
     for x in res:
-        if jnp.issubdtype(x.dtype, jnp.integer):
-            parts.append(jax.lax.bitcast_convert_type(
-                jnp.ravel(x).astype(jnp.int32), jnp.float32))
+        if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == bool:
+            parts.append(jnp.ravel(x).astype(jnp.int32))
         else:
-            parts.append(jnp.ravel(x).astype(jnp.float32))
+            parts.append(jax.lax.bitcast_convert_type(
+                jnp.ravel(x).astype(jnp.float32), jnp.int32))
     return jnp.concatenate(parts)
 
 
 def unpack_results(buf: np.ndarray, b: int, t: int, d: int) -> BatchResults:
-    """Host-side inverse of :func:`pack_results`."""
+    """Host-side inverse of :func:`pack_results` (buf: int32)."""
     sizes = [b * t, b * t * 4, b * t, b * t, b * t, b * t,
              MAX_ENROLL * d, MAX_ENROLL, MAX_ENROLL]
     shapes = [(b, t), (b, t, 4), (b, t), (b, t), (b, t), (b, t),
@@ -214,10 +217,12 @@ def unpack_results(buf: np.ndarray, b: int, t: int, d: int) -> BatchResults:
     out, off = [], 0
     for n, shp, dt in zip(sizes, shapes, dtypes):
         chunk = buf[off : off + n]
-        if np.issubdtype(dt, np.integer):
-            out.append(chunk.view(np.int32).reshape(shp))
+        if dt == np.float32:
+            out.append(chunk.view(np.float32).reshape(shp))
+        elif dt == bool:
+            out.append((chunk != 0).reshape(shp))
         else:
-            out.append(chunk.reshape(shp).astype(dt))
+            out.append(chunk.reshape(shp))
         off += n
     return BatchResults(*out)
 

@@ -280,11 +280,19 @@ class DeviceEngine:
 
     # -- detection ---------------------------------------------------------
 
-    def _build_detect(self, frame_hw: Tuple[int, int]):
+    def _build_detect(self, frame_hw: Tuple[int, int], variant: str = "detect"):
         cfg = self.cfg
         det_hw = self._detect_input
         detector, det_vars = self.detector, self.det_vars
         max_faces = cfg.engine.max_faces
+        # the reference's extract path runs mediapipe at conf 0.5
+        # (model_selection=0) vs 0.8 for detection
+        # (mediapipe_face_detector.py:13-30 vs :109-131)
+        bf_conf = (
+            cfg.blazeface_extract_conf_threshold
+            if variant == "extract"
+            else cfg.blazeface_conf_threshold
+        )
 
         def run(det_vars, frame_u8):
             img = frame_u8.astype(jnp.float32) / 255.0
@@ -295,7 +303,7 @@ class DeviceEngine:
                 scores, regs = detector.apply(det_vars, x)
                 return decode_blazeface(
                     scores, regs, frame_hw,
-                    conf_threshold=cfg.blazeface_conf_threshold,
+                    conf_threshold=bf_conf,
                     max_faces=max_faces,
                 )
             if isinstance(detector, RetinaFace):
@@ -317,13 +325,20 @@ class DeviceEngine:
 
         return jax.jit(run)
 
-    def detect(self, frame_bgr: np.ndarray) -> Detections:
-        """Frame (H, W, 3) uint8 BGR → padded `Detections` (device)."""
+    def detect(self, frame_bgr: np.ndarray, variant: str = "detect") -> Detections:
+        """Frame (H, W, 3) uint8 BGR → padded `Detections` (device).
+
+        ``variant="extract"`` applies the extraction-path detector
+        config (mediapipe conf 0.5, mediapipe_face_detector.py:109-131);
+        identical to "detect" for yunet/retinaface."""
         hw = frame_bgr.shape[:2]
-        fn = self._detect_jit_cache.get(hw)
+        if variant != "detect" and not isinstance(self.detector, BlazeFace):
+            variant = "detect"  # variants only differ for the mediapipe slot
+        key = hw if variant == "detect" else (hw, variant)
+        fn = self._detect_jit_cache.get(key)
         if fn is None:
-            fn = self._build_detect(hw)
-            self._detect_jit_cache[hw] = fn
+            fn = self._build_detect(hw, variant)
+            self._detect_jit_cache[key] = fn
         # all-device args keep the C++ jit fast path; eager
         # jnp.asarray would cost ~130ms here, jax.device_put ~4ms
         return fn(self.det_vars, _dev(frame_bgr))
@@ -423,8 +438,10 @@ class DeviceEngine:
     def extract_faces(self, image_bgr: np.ndarray, align: bool = True):
         """Detect and return 160×160 RGB crops, aligned via the batched
         3-point affine when requested — the extract_faces contract of
-        every reference backend (yunet_face_detector.py:89-170)."""
-        d = self.detect(image_bgr)
+        every reference backend (yunet_face_detector.py:89-170).  Uses
+        the extraction detector variant (mediapipe runs at conf 0.5
+        here, mediapipe_face_detector.py:109-131)."""
+        d = self.detect(image_bgr, variant="extract")
         mask = np.asarray(d.mask)
         idx = np.nonzero(mask)[0]
         if idx.size == 0:

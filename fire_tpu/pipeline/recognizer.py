@@ -849,7 +849,8 @@ class FaceRecognition:
         """Flush + persist + report (face_recognition.py:856-876)."""
         try:
             self.save_database_to_sqlite()
-            self.gallery.save()
+            # fold any journaled enrollments into the snapshot triplet
+            self.gallery.save(compact=True)
             self.db_manager.save()
             log.info("Closed FaceRecognition system and saved all data.")
         except Exception as e:

@@ -225,26 +225,37 @@ def sort_step(
     det_mask: jnp.ndarray,
     cfg: TrackerConfig,
 ) -> Tuple[TrackTable, TrackOutputs]:
-    """One fully-jitted frame step with device greedy assignment —
-    the maximum-throughput path (no host sync)."""
+    """One fully-jitted frame step (no host sync).
+
+    Assignment per ``cfg.assignment``: "hungarian" (default) uses the
+    device-exact JV solver — the same optimum as the reference's SciPy
+    Hungarian (sort_UKF.py:434) — "greedy" the cheaper device matching.
+    """
     table, trk_boxes = predict_tracks(table, cfg)
     cost = assign.cost_matrix(det_boxes.astype(jnp.float32), trk_boxes,
                               max_distance=cfg.max_distance)
     gate = (1.0 - cfg.iou_threshold) + 1.0
-    match = assign.greedy_assign(
-        cost, det_mask, table.active, gate, max_pairs=min(det_boxes.shape[0], table.x.shape[0])
-    )
+    if cfg.assignment == "greedy":
+        match = assign.greedy_assign(
+            cost, det_mask, table.active, gate,
+            max_pairs=min(det_boxes.shape[0], table.x.shape[0]),
+        )
+    else:
+        match = assign.lap_assign(cost, det_mask, table.active, gate)
     return apply_assignment(table, det_boxes.astype(jnp.float32), det_mask, match, cfg)
 
 
 @jax.jit
 def _pack_outputs(out: TrackOutputs) -> jnp.ndarray:
-    """(7T,) f32: tid ‖ boxes(4) ‖ age ‖ mask — int32 lanes bit-cast so
-    readback is exact for any id magnitude."""
-    bc = lambda x: jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+    """(7T,) **int32**: tid ‖ boxes(4) ‖ age ‖ mask — one readback.
+
+    The carrier must be int32, not f32: bit-casting small ints into f32
+    produces denormals, and the TPU compute/transfer path flushes
+    denormals to zero (verified on hardware — every id/box < 2^23 read
+    back as 0).  Integer lanes are exact at any magnitude."""
     return jnp.concatenate([
-        bc(out.tid), bc(out.boxes).reshape(-1), bc(out.age),
-        out.mask.astype(jnp.float32),
+        out.tid, out.boxes.reshape(-1).astype(jnp.int32), out.age,
+        out.mask.astype(jnp.int32),
     ])
 
 
@@ -259,9 +270,9 @@ class Sort:
 
     ``update(detections)`` takes the same list-of-dicts the reference
     orchestrator passes (face_recognition.py:385-391) and returns the
-    same ``[{'id', 'bbox', 'age'}, ...]``.  Internally the track table
-    lives on device; only the small cost matrix crosses to host when
-    Hungarian assignment is selected.
+    same ``[{'id', 'bbox', 'age'}, ...]``.  The track table lives on
+    device and assignment is solved there too (exact JV LAP); the only
+    per-frame D2H transfer is the packed output buffer.
     """
 
     def __init__(self, cfg: TrackerConfig | None = None, max_dets: int = 32):
@@ -284,13 +295,10 @@ class Sort:
         # device-resident args keep the C++ jit fast path
         jb = jax.device_put(det_boxes)
         jm = jax.device_put(det_mask)
-        if cfg.assignment == "greedy":
-            self.table, out = sort_step(self.table, jb, jm, cfg)
-        else:
+        if cfg.assignment == "hungarian_host":
+            # legacy/oracle path: exact LAP solved on host (native C++ or
+            # SciPy) — ONE packed readback of (cost ‖ active)
             self.table, trk_boxes = predict_tracks(self.table, cfg)
-            # ONE readback for the host Hungarian inputs (cost ‖ active):
-            # per-transfer D2H latency dominates this path on the
-            # tunnelled platform (~30 ms each)
             packed = _pack_cost_active(
                 assign.cost_matrix(jb, trk_boxes, max_distance=cfg.max_distance),
                 self.table.active,
@@ -304,14 +312,17 @@ class Sort:
             self.table, out = apply_assignment(
                 self.table, jb, jm, jax.device_put(match), cfg
             )
+        else:
+            # "hungarian" (device-exact JV) and "greedy" both run fully
+            # on device: zero assignment readbacks
+            self.table, out = sort_step(self.table, jb, jm, cfg)
 
-        # ONE readback for the outputs (tid ‖ boxes ‖ age ‖ mask),
-        # int32 lanes bit-cast — was 4 separate transfers (VERDICT r1 #7)
+        # ONE int32 readback for the outputs (tid ‖ boxes ‖ age ‖ mask)
+        # — was 4 separate transfers (VERDICT r1 #7)
         buf = np.asarray(_pack_outputs(out))
         t = buf.shape[0] // 7
-        ints = buf[: 6 * t].view(np.int32)
-        tids, boxes, ages = ints[:t], ints[t : 5 * t].reshape(t, 4), ints[5 * t : 6 * t]
-        mask = buf[6 * t :] > 0.5
+        tids, boxes, ages = buf[:t], buf[t : 5 * t].reshape(t, 4), buf[5 * t : 6 * t]
+        mask = buf[6 * t :] > 0
         return [
             {"id": int(tids[i]), "bbox": [int(v) for v in boxes[i]], "age": int(ages[i])}
             for i in np.nonzero(mask)[0]

@@ -79,3 +79,34 @@ def test_mismatched_yunet_falls_back_to_executor(tmp_path, rng):
     frame = (rng.random((48, 60, 3)) * 255).astype(np.uint8)
     out = eng.detect_faces(frame)  # runs the ONNX graph inside the jit
     assert isinstance(out, list)  # untrained weights → likely no faces
+
+
+def test_extract_variant_uses_mediapipe_low_conf(tmp_path):
+    """The extraction detect variant honors the reference's second
+    mediapipe config (model_selection=0, conf 0.5,
+    mediapipe_face_detector.py:109-131): faces scored between 0.5 and
+    0.8 appear only on the extract path."""
+    cfg = _cfg(None, detector="mediapipe")
+    eng = DeviceEngine(cfg)
+    frame = np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+
+    d_det = eng.detect(frame, variant="detect")
+    d_ext = eng.detect(frame, variant="extract")
+    s_det = np.asarray(d_det.scores)[np.asarray(d_det.mask)]
+    s_ext = np.asarray(d_ext.scores)[np.asarray(d_ext.mask)]
+    # masks reflect the two thresholds exactly
+    assert (s_det > cfg.blazeface_conf_threshold - 1e-6).all()
+    assert (s_ext > cfg.blazeface_extract_conf_threshold - 1e-6).all()
+    # every detect-path face also passes the laxer extract threshold
+    assert np.asarray(d_ext.mask).sum() >= np.asarray(d_det.mask).sum()
+
+
+def test_extract_variant_shared_for_yunet(tmp_path):
+    """yunet/retinaface have no extraction variant in the reference —
+    both paths must share one compiled graph (no cache doubling)."""
+    eng = DeviceEngine(_cfg(None, detector="yunet"))
+    frame = np.zeros((64, 64, 3), np.uint8)
+    eng.detect(frame, variant="detect")
+    n = len(eng._detect_jit_cache)
+    eng.detect(frame, variant="extract")
+    assert len(eng._detect_jit_cache) == n

@@ -189,3 +189,110 @@ def test_update_label_conflict_refusal(tmp_path, rng):
     g.update_label(0, "carol", s, similarity_threshold=0.5)
     # conflict → only the requested entry renamed
     assert g.labels == ["carol", "bob"]
+
+
+# ------------------------------------------------- incremental journal ---
+
+def test_gallery_journal_appends_without_snapshot_rewrite(tmp_path, rng):
+    """VERDICT r1 #8: per-enrollment save() must append to the journal,
+    not rewrite the full matrix."""
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    for i in range(3):
+        g.add(_emb(rng, 16), f"base{i}", i)
+    g.save()  # no snapshot yet -> full write
+    snap_mtime = __import__("os").path.getmtime(paths[0])
+    snap_bytes = open(paths[0], "rb").read()
+
+    for i in range(3, 8):
+        g.add(_emb(rng, 16), f"p{i}", i)
+        g.save()  # each of these must journal-append
+    assert open(paths[0], "rb").read() == snap_bytes  # snapshot untouched
+    assert __import__("os").path.exists(paths[0] + ".journal")
+
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.count == 8
+    assert g2.labels == g.labels and g2.db_ids == g.db_ids
+    ids, dists = g2.query(np.asarray(g._gal[6]), k=1)
+    assert int(ids[0][0]) == 6 and float(dists[0][0]) < 1e-5
+
+
+def test_gallery_journal_encrypted_roundtrip(tmp_path, rng):
+    enc = Encryptor("pw")
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, encryptor=enc, capacity=100)
+    g.add(_emb(rng, 16), "a", 1)
+    g.save()
+    g.add(_emb(rng, 16), "b", 2)
+    g.save()  # journaled, encrypted record
+    raw = open(paths[0] + ".journal", "rb").read()
+    assert b"b" not in raw[4:20] or len(raw) > 60  # ciphertext, not pickle
+    g2 = DeviceGallery(16, *paths, encryptor=enc, capacity=100)
+    assert g2.labels == ["a", "b"] and g2.db_ids == [1, 2]
+
+
+def test_gallery_compaction_folds_journal(tmp_path, rng):
+    import os
+
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100, journal_compact_threshold=2)
+    g.add(_emb(rng, 16), "a", 1)
+    g.save()
+    for i in range(2, 5):
+        g.add(_emb(rng, 16), f"p{i}", i)
+        g.save()
+    # 3rd journaled add exceeds the threshold (2) -> compacted
+    assert not os.path.exists(paths[0] + ".journal")
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.count == 4 and g2._snapshot_rows == 4
+
+
+def test_gallery_explicit_compact_removes_journal(tmp_path, rng):
+    import os
+
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    g.add(_emb(rng, 16), "a", 1)
+    g.save()
+    g.add(_emb(rng, 16), "b", 2)
+    g.save()
+    assert os.path.exists(paths[0] + ".journal")
+    g.save(compact=True)
+    assert not os.path.exists(paths[0] + ".journal")
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.labels == ["a", "b"] and g2._journal_rows == 0
+
+
+def test_gallery_rename_forces_compaction(tmp_path, rng):
+    """A relabel mutates snapshot rows the journal can't express -> the
+    next save must rewrite the snapshot."""
+    import os
+
+    from fire_tpu.gallery.store import FaceStore
+
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    store = FaceStore(str(tmp_path / "db.sqlite"))
+    g = DeviceGallery(16, *paths, capacity=100)
+    e = _emb(rng, 16)
+    db_id = store.add("old", e.tobytes())
+    g.add(e, "old", db_id)
+    g.save()
+    g.add(_emb(rng, 16), "x", store.add("x", _emb(rng, 16).tobytes()))
+    g.save()  # journaled
+    g.rename_single(0, "new", store)  # dirty -> compacts inside save()
+    assert not os.path.exists(paths[0] + ".journal")
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.labels == ["new", "x"]
+
+
+def test_gallery_corrupt_journal_recovers_fresh(tmp_path, rng):
+    """Truncated/garbage journal == corrupt index: fresh gallery so the
+    orchestrator's rebuild-from-SQLite path kicks in."""
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    g.add(_emb(rng, 16), "a", 1)
+    g.save()
+    with open(paths[0] + ".journal", "wb") as f:
+        f.write(b"\x40\x00\x00\x00garbage")  # claims 64 bytes, has 7
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.count == 0
