@@ -78,6 +78,36 @@ def identification_auc(
     return out
 
 
+def encode_directory(engine, root: str, size=(160, 160)):
+    """Encode every ``root/<identity>/*`` image directly (no detection):
+    images are presumed pre-cropped faces (the identity-folder training
+    layout).  Returns (embeddings (N, D), labels)."""
+    import os
+
+    import cv2
+
+    embs: List[np.ndarray] = []
+    labels: List[str] = []
+    for ident in sorted(os.listdir(root)):
+        d = os.path.join(root, ident)
+        if not os.path.isdir(d):
+            continue
+        batch, names = [], []
+        for fname in sorted(os.listdir(d)):
+            if not fname.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                continue
+            img = cv2.imread(os.path.join(d, fname))
+            if img is None:
+                continue
+            img = cv2.resize(img, (size[1], size[0]), interpolation=cv2.INTER_AREA)
+            batch.append(img[..., ::-1].astype(np.float32) / 255.0)  # BGR→RGB [0,1]
+            names.append(ident)
+        if batch:
+            embs.extend(engine.encode_faces(np.stack(batch)))
+            labels.extend(names)
+    return np.stack(embs), labels
+
+
 def evaluate_directory(engine, root: str, align: bool = True) -> Dict[str, float]:
     """CASIA-FaceV5-style evaluation: ``root/<identity>/*.{jpg,png,bmp}``
     → detect+align+encode every image with the live engine → AUC."""
@@ -108,3 +138,49 @@ def evaluate_directory(engine, root: str, align: bool = True) -> Dict[str, float
     if len(set(labels)) < 2:
         raise ValueError("need at least two identities with detected faces")
     return identification_auc(np.stack(embs), labels)
+
+
+def main() -> None:
+    """``python -m fire_tpu.eval --data DIR`` — verification AUC of the
+    live engine on an identity-folder dataset; ``--trained`` loads
+    encoder variables from ``python -m fire_tpu.train`` first.
+
+    With ``--detect`` the full detect→align→encode path runs per image
+    (CASIA-style photos); default encodes pre-cropped faces directly.
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description="FIRE-TPU verification AUC")
+    ap.add_argument("--data", required=True, help="root: <root>/<identity>/*.png")
+    ap.add_argument("--encoder", default="512", choices=["128", "512"])
+    ap.add_argument("--detector", default="yunet",
+                    choices=["yunet", "retinaface", "mediapipe"])
+    ap.add_argument("--trained", default=None,
+                    help="encoder variables msgpack from fire_tpu.train")
+    ap.add_argument("--detect", action="store_true",
+                    help="run detection+alignment instead of direct encode")
+    args = ap.parse_args()
+
+    from fire_tpu.config import RecognizerConfig
+    from fire_tpu.pipeline.engine import DeviceEngine
+
+    cfg = RecognizerConfig(
+        detector_type=args.detector,
+        encoder_model_type=args.encoder,
+        weights_dir=None,
+    ).with_embedding_dim()
+    engine = DeviceEngine(cfg)
+    if args.trained:
+        engine.load_trained_encoder(args.trained)
+
+    if args.detect:
+        aucs, n = evaluate_directory(engine, args.data), None
+    else:
+        embs, labels = encode_directory(engine, args.data)
+        aucs, n = identification_auc(embs, labels), len(labels)
+    print(json.dumps({"auc": aucs, "n": n, "trained": bool(args.trained)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,20 +1,29 @@
-"""BlazeFace-class fast-path detector (the reference's MediaPipe slot).
+"""BlazeFace short-range detector — the reference's MediaPipe slot.
 
 The reference's fastest detector option is MediaPipe's C++/TFLite
 BlazeFace graph (mediapipe_face_detector.py:28-33) — opaque native
-code.  This is the TPU-native equivalent filling the same slot with the
-same output contract (bbox + ≥3 keypoints + score,
-mediapipe_face_detector.py:67-71): a 128×128 single-shot detector with
-BlazeBlock feature extractor and the 896-anchor (16×16×2 + 8×8×6) SSD
-grid, decoded and NMS'd on device.
+code.  This is the TPU-native equivalent with the **actual published
+short-range topology** (BlazeFace paper / MediaPipe
+face_detection_short_range model): 5×5/2 stem to 24 channels, sixteen
+single BlazeBlocks with the canonical channel progression
+24→24→28→32→36→42→48→56→64→72→80→88→96→96×4 (stride-2 at the 32/48/96
+steps), and the four SSD heads — 2 anchors/cell on the 16×16 stride-8
+map (88 ch) and 6 anchors/cell on the 8×8 stride-16 map (96 ch), 896
+anchors total, 1 score + 16 regression values (box + 6 keypoints) per
+anchor.  Weight-loadable: :func:`blazeface_layer_order` defines the
+execution-order import contract consumed by
+``fire_tpu.models.onnx_import.assign_blazeface``, and
+``onnx_export.export_blazeface`` emits the interchange file.
 
-Default confidence mirrors the reference wiring: 0.8 for detection,
-0.5 for extraction (mediapipe_face_detector.py:13,111).
+Output contract matches the reference wrapper (bbox + keypoints +
+score, mediapipe_face_detector.py:67-71); confidence wiring mirrors it
+too: 0.8 for detection, 0.5 for extraction
+(mediapipe_face_detector.py:13,111).
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -25,10 +34,19 @@ from fire_tpu.ops import boxes as fbox
 
 Dtype = Any
 
+# (features, stride) per BlazeBlock — the published short-range channel
+# progression (stride-2 blocks feed the 64→32→16→8 pyramid).
+BLAZE_BLOCKS: Tuple[Tuple[int, int], ...] = (
+    (24, 1), (28, 1), (32, 2), (36, 1), (42, 1), (48, 2),
+    (56, 1), (64, 1), (72, 1), (80, 1), (88, 1),
+    (96, 2), (96, 1), (96, 1), (96, 1), (96, 1),
+)
+
 
 def blaze_anchors() -> np.ndarray:
     """(896, 2) anchor centres in [0,1] — 2 per 16×16 cell (stride 8)
-    then 6 per 8×8 cell (stride 16), mediapipe's SSD anchor layout."""
+    then 6 per 8×8 cell (stride 16); mediapipe's SSD anchor config for
+    this model collapses to unit-size centre anchors."""
     anchors = []
     for grid, per_cell in ((16, 2), (8, 6)):
         step = 1.0 / grid
@@ -40,8 +58,9 @@ def blaze_anchors() -> np.ndarray:
 
 
 class BlazeBlock(nn.Module):
-    """Depthwise 5×5 + pointwise 1×1 with residual; optional stride-2
-    (maxpool shortcut + zero channel pad, as in the BlazeFace paper)."""
+    """Depthwise 5×5 + pointwise 1×1 with residual; stride-2 variants
+    maxpool the shortcut, channel increases zero-pad it (BlazeFace
+    paper fig. 1; biases present, BN folded — as in the TFLite file)."""
 
     features: int
     stride: int = 1
@@ -65,44 +84,52 @@ class BlazeBlock(nn.Module):
 
 
 class BlazeFace(nn.Module):
-    """128×128 fast face detector; returns raw SSD head tensors."""
+    """128×128 short-range face detector; returns raw SSD head tensors."""
 
-    width: int = 24
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, 128, 128, 3) in [0,1] (model maps to [-1,1] internally).
+        """x: (B, 128, 128, 3) RGB in [0,1] (mapped to the model's
+        [-1,1] input contract internally).
 
-        Returns (scores (B, 896), boxes+kps raw (B, 896, 16)).
+        Returns (scores (B, 896), regressions (B, 896, 16)) in anchor
+        order: 16×16 grid (2/cell) then 8×8 grid (6/cell).
         """
-        w, dt = self.width, self.dtype
+        dt = self.dtype
         x = (x.astype(dt) - 0.5) * 2.0
-        x = nn.Conv(w, (5, 5), strides=(2, 2), padding="SAME", dtype=dt, name="stem")(x)
+        x = nn.Conv(24, (5, 5), strides=(2, 2), padding="SAME", use_bias=True,
+                    dtype=dt, name="conv1")(x)
         x = nn.relu(x)
-        for i in range(2):
-            x = BlazeBlock(w, dtype=dt, name=f"b64_{i}")(x)
-        x = BlazeBlock(w * 2, stride=2, dtype=dt, name="down32")(x)
-        for i in range(2):
-            x = BlazeBlock(w * 2, dtype=dt, name=f"b32_{i}")(x)
-        x = BlazeBlock(w * 4, stride=2, dtype=dt, name="down16")(x)
-        for i in range(2):
-            x = BlazeBlock(w * 4, dtype=dt, name=f"b16_{i}")(x)
-        f16 = x  # (B, 16, 16, 4w)
-        x = BlazeBlock(w * 4, stride=2, dtype=dt, name="down8")(x)
-        for i in range(2):
-            x = BlazeBlock(w * 4, dtype=dt, name=f"b8_{i}")(x)
-        f8 = x  # (B, 8, 8, 4w)
+        f16 = None
+        for i, (feats, stride) in enumerate(BLAZE_BLOCKS):
+            if stride == 2 and feats == 96:
+                f16 = x  # 16×16×88 map feeds the stride-8 heads
+            x = BlazeBlock(feats, stride=stride, dtype=dt, name=f"b{i + 1}")(x)
+        f8 = x  # 8×8×96
 
         b = f16.shape[0]
-        # 2 anchors/cell at 16×16, 6 at 8×8; per anchor: 1 score + 16 regs
-        s16 = nn.Conv(2 * 1, (1, 1), dtype=dt, name="score16")(f16).astype(jnp.float32)
-        s8 = nn.Conv(6 * 1, (1, 1), dtype=dt, name="score8")(f8).astype(jnp.float32)
-        r16 = nn.Conv(2 * 16, (1, 1), dtype=dt, name="reg16")(f16).astype(jnp.float32)
-        r8 = nn.Conv(6 * 16, (1, 1), dtype=dt, name="reg8")(f8).astype(jnp.float32)
-        scores = jnp.concatenate([s16.reshape(b, -1), s8.reshape(b, -1)], axis=1)
-        regs = jnp.concatenate([r16.reshape(b, -1, 16), r8.reshape(b, -1, 16)], axis=1)
+        # mediapipe head names: *_8 act on the stride-8 (16×16) map,
+        # *_16 on the stride-16 (8×8) map
+        c8 = nn.Conv(2, (1, 1), use_bias=True, dtype=dt, name="classifier_8")(f16).astype(jnp.float32)
+        r8 = nn.Conv(32, (1, 1), use_bias=True, dtype=dt, name="regressor_8")(f16).astype(jnp.float32)
+        c16 = nn.Conv(6, (1, 1), use_bias=True, dtype=dt, name="classifier_16")(f8).astype(jnp.float32)
+        r16 = nn.Conv(96, (1, 1), use_bias=True, dtype=dt, name="regressor_16")(f8).astype(jnp.float32)
+        scores = jnp.concatenate([c8.reshape(b, -1), c16.reshape(b, -1)], axis=1)
+        regs = jnp.concatenate([r8.reshape(b, -1, 16), r16.reshape(b, -1, 16)], axis=1)
         return scores, regs
+
+
+def blazeface_layer_order() -> List[Tuple]:
+    """Parameterised layers in execution order for ONNX weight import
+    (all plain biased convs — the TFLite file ships BN pre-folded)."""
+    order: List[Tuple] = [("conv", ("conv1",))]
+    for i in range(1, len(BLAZE_BLOCKS) + 1):
+        order.append(("conv", (f"b{i}", "dw")))
+        order.append(("conv", (f"b{i}", "pw")))
+    for head in ("classifier_8", "regressor_8", "classifier_16", "regressor_16"):
+        order.append(("conv", (head,)))
+    return order
 
 
 def decode_blazeface(

@@ -265,6 +265,75 @@ def export_yunet(variables: dict, width: int = 64, image_hw=(640, 640)) -> bytes
     return g.model_bytes()
 
 
+# ----------------------------------------------------- BlazeFace exporter ---
+
+
+def export_blazeface(variables: dict) -> bytes:
+    """Serialize a :class:`fire_tpu.models.blazeface.BlazeFace` as ONNX
+    in the TFLite file's spirit: BN-folded biased convs, input
+    ``input`` (1,3,128,128) RGB in [-1,1], four NCHW head outputs named
+    ``classifier_8/regressor_8`` (16×16 stride-8 map) and
+    ``classifier_16/regressor_16`` (8×8) — the layer layout of
+    MediaPipe's face_detection_short_range model
+    (mediapipe_face_detector.py:28-33 is the reference consumer).
+    Node order matches :func:`fire_tpu.models.blazeface.blazeface_layer_order`
+    so the file round-trips through ``assign_blazeface``."""
+    from flax.traverse_util import flatten_dict
+
+    from fire_tpu.models.blazeface import BLAZE_BLOCKS
+
+    p = flatten_dict(variables["params"])
+    g = GraphBuilder("blazeface")
+    g.add_input("input", (1, 3, 128, 128))
+
+    def conv(x, path, strides=(1, 1), pads=(0, 0, 0, 0), group=1):
+        kern = np.asarray(p[path + ("kernel",)], np.float32)  # HWIO
+        pre = "/".join(path)
+        ins = [x, g.add_init(pre + "/W", np.transpose(kern, (3, 2, 0, 1))),
+               g.add_init(pre + "/b", np.asarray(p[path + ("bias",)], np.float32))]
+        return g.add_node("Conv", ins, strides=list(strides), pads=list(pads),
+                          group=group, kernel_shape=list(kern.shape[:2]))
+
+    # stem: 5×5/2 SAME on 128 → pads (1,1,2,2)
+    x = conv("input", ("conv1",), strides=(2, 2), pads=(1, 1, 2, 2))
+    x = g.add_node("Relu", [x])
+
+    f16 = None
+    cin = 24
+    for i, (feats, stride) in enumerate(BLAZE_BLOCKS):
+        if stride == 2 and feats == 96:
+            f16 = x
+        name = f"b{i + 1}"
+        pads = (2, 2, 2, 2) if stride == 1 else (1, 1, 2, 2)
+        y = conv(x, (name, "dw"), strides=(stride, stride), pads=pads, group=cin)
+        y = conv(y, (name, "pw"))
+        sc = x
+        if stride == 2:
+            sc = g.add_node("MaxPool", [sc], kernel_shape=[2, 2], strides=[2, 2])
+        if feats > cin:
+            pad_amt = g.add_init(
+                f"{name}/chpad",
+                np.asarray([0, 0, 0, 0, 0, feats - cin, 0, 0], np.int64),
+            )
+            sc = g.add_node("Pad", [sc, pad_amt], mode="constant")
+        x = g.add_node("Relu", [g.add_node("Add", [sc, y])])
+        cin = feats
+    f8 = x
+
+    for head, feat, ch, grid in (
+        ("classifier_8", f16, 2, 16), ("regressor_8", f16, 32, 16),
+        ("classifier_16", f8, 6, 8), ("regressor_16", f8, 96, 8),
+    ):
+        g.add_node("Conv", [
+            feat,
+            g.add_init(head + "/W", np.transpose(
+                np.asarray(p[(head, "kernel")], np.float32), (3, 2, 0, 1))),
+            g.add_init(head + "/b", np.asarray(p[(head, "bias")], np.float32)),
+        ], outputs=[head], strides=[1, 1], pads=[0, 0, 0, 0], kernel_shape=[1, 1])
+        g.add_output(head, (1, ch, grid, grid))
+    return g.model_bytes()
+
+
 # ------------------------------------------------------- FaceNet exporter ---
 
 

@@ -520,3 +520,12 @@ def assign_yunet(params: dict, batch_stats: dict, graph: OnnxGraph) -> Tuple[dic
     from fire_tpu.models.yunet import yunet_layer_order
 
     return assign_by_layer_order(params, batch_stats, graph, yunet_layer_order())
+
+
+def assign_blazeface(params: dict, batch_stats: dict, graph: OnnxGraph) -> Tuple[dict, dict]:
+    """Map a BlazeFace short-range ONNX export (BN pre-folded, biased
+    convs — the TFLite file's layout, mediapipe_face_detector.py:28-33)
+    onto :class:`fire_tpu.models.blazeface.BlazeFace` variables."""
+    from fire_tpu.models.blazeface import blazeface_layer_order
+
+    return assign_by_layer_order(params, batch_stats, graph, blazeface_layer_order())

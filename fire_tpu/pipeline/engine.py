@@ -250,6 +250,82 @@ class DeviceEngine:
         self._det_fn = det_fn
         log.info("Detector runs the exact ONNX graph from %s (executor).", path)
 
+    def load_blazeface_onnx_weights(self, path: str) -> None:
+        """Import BlazeFace short-range weights (the reference's
+        MediaPipe model slot, mediapipe_face_detector.py:28-33)."""
+        from fire_tpu.models.onnx_import import assign_blazeface, read_onnx
+
+        graph = read_onnx(path)
+        params, stats = assign_blazeface(
+            jax.tree.map(np.asarray, self.det_vars["params"]),
+            jax.tree.map(np.asarray, self.det_vars.get("batch_stats", {})),
+            graph,
+        )
+        self.det_vars = {"params": params} if not stats else {"params": params, "batch_stats": stats}
+        log.info("Imported BlazeFace weights from %s.", path)
+
+    def _use_onnx_blazeface(self, path: str) -> None:
+        """Run a BlazeFace ONNX graph exactly: [-1,1] RGB NCHW input,
+        four NCHW head maps → adapt to the (scores, regs) contract
+        decode_blazeface expects (anchor order: 16×16 grid then 8×8)."""
+        from fire_tpu.models.onnx_exec import make_onnx_fn
+        from fire_tpu.models.onnx_import import read_onnx
+
+        graph = read_onnx(path)
+        fn, params = make_onnx_fn(graph)
+        names = list(graph.outputs)
+        want = ["classifier_8", "regressor_8", "classifier_16", "regressor_16"]
+        if sorted(names) != sorted(want):
+            raise ValueError(f"unexpected BlazeFace output names {names}")
+        order = [names.index(n) for n in want]
+
+        def det_fn(v, x01_nhwc):
+            outs = fn(v, jnp.transpose((x01_nhwc - 0.5) * 2.0, (0, 3, 1, 2)))
+            c8, r8, c16, r16 = (
+                jnp.transpose(outs[i], (0, 2, 3, 1)).astype(jnp.float32) for i in order
+            )
+            b = c8.shape[0]
+            scores = jnp.concatenate([c8.reshape(b, -1), c16.reshape(b, -1)], axis=1)
+            regs = jnp.concatenate(
+                [r8.reshape(b, -1, 16), r16.reshape(b, -1, 16)], axis=1
+            )
+            return scores, regs
+
+        self.det_vars = jax.tree.map(jnp.asarray, params)
+        self._det_fn = det_fn
+        log.info("Detector runs the exact ONNX graph from %s (executor).", path)
+
+    def _use_onnx_retinaface(self, path: str) -> None:
+        """Run the reference's RetinaFace ONNX graph exactly (NCHW
+        raw-pixel input, 9 outputs in the export's permuted order,
+        retinaface_face_detector.py:108) and adapt to the NHWC head
+        contract decode_retinaface expects.  Per-stride output triplets
+        are (scores, bbox, landmarks) for strides [32, 16, 8]; the face
+        probability is the last-A channel slice of the score map
+        (retinaface_face_detector.py:116-117)."""
+        from fire_tpu.models.onnx_exec import make_onnx_fn
+        from fire_tpu.models.onnx_import import read_onnx
+
+        graph = read_onnx(path)
+        if len(graph.outputs) != 9:
+            raise ValueError(f"expected 9 RetinaFace outputs, got {len(graph.outputs)}")
+        fn, params = make_onnx_fn(graph)
+        perm = (7, 1, 4, 8, 0, 3, 6, 2, 5)  # retinaface_face_detector.py:108
+        n_anchors = 2
+
+        def det_fn(v, x_rgb255_nhwc):
+            outs = fn(v, jnp.transpose(x_rgb255_nhwc, (0, 3, 1, 2)))
+            outs = [outs[i] for i in perm]
+            heads = {}
+            for level, stride in enumerate((32, 16, 8)):
+                sc, bb, lm = (a.astype(jnp.float32) for a in outs[3 * level : 3 * level + 3])
+                heads[stride] = (sc[..., n_anchors:], bb, lm)
+            return heads
+
+        self.det_vars = jax.tree.map(jnp.asarray, params)
+        self._det_fn = det_fn
+        log.info("Detector runs the exact ONNX graph from %s (executor).", path)
+
     def _load_reference_weights(self) -> None:
         """Probe cfg.weights_dir for the reference's ONNX files and
         import them; on a topology mismatch fall back to executing the
@@ -277,6 +353,31 @@ class DeviceEngine:
                 except ValueError as e:
                     log.warning("YuNet import mismatch (%s); executor fallback.", e)
                     self._use_onnx_yunet(det_path)
+        elif self.cfg.detector_type in ("mediapipe", "blazeface"):
+            for fname in ("blazeface.onnx", "face_detection_short_range.onnx"):
+                det_path = os.path.join(wdir, fname)
+                if not os.path.exists(det_path):
+                    continue
+                try:
+                    self.load_blazeface_onnx_weights(det_path)
+                except FileNotFoundError as e:  # LFS stub
+                    log.info("%s", e)
+                except ValueError as e:
+                    log.warning("BlazeFace import mismatch (%s); executor fallback.", e)
+                    self._use_onnx_blazeface(det_path)
+                break
+        elif self.cfg.detector_type == "retinaface":
+            det_path = os.path.join(wdir, "retinaface.onnx")
+            if os.path.exists(det_path):
+                try:
+                    # the reference file is an insightface R50 export
+                    # whose graph differs from the hand-written Flax
+                    # topology — execute the file's exact graph
+                    self._use_onnx_retinaface(det_path)
+                except FileNotFoundError as e:  # LFS stub
+                    log.info("%s", e)
+                except ValueError as e:
+                    log.warning("RetinaFace ONNX unusable (%s); random init.", e)
 
     # -- detection ---------------------------------------------------------
 
@@ -300,7 +401,7 @@ class DeviceEngine:
             x = canvas[None]
             if isinstance(detector, BlazeFace):
                 x = bgr_to_rgb(x)
-                scores, regs = detector.apply(det_vars, x)
+                scores, regs = self._det_fn(det_vars, x)
                 return decode_blazeface(
                     scores, regs, frame_hw,
                     conf_threshold=bf_conf,
@@ -308,7 +409,7 @@ class DeviceEngine:
                 )
             if isinstance(detector, RetinaFace):
                 x = bgr_to_rgb(x) * 255.0  # raw-pixel RGB (preprocess.py:130-143)
-                heads = detector.apply(det_vars, x)
+                heads = self._det_fn(det_vars, x)
                 return decode_retinaface(
                     heads, det_hw, scale,
                     threshold=cfg.retinaface_threshold,

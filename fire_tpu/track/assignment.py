@@ -171,6 +171,31 @@ def _lap_solve(c: jnp.ndarray, row_valid: jnp.ndarray):
     return col4row
 
 
+def _solve_with_fast_path(c: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact LAP with a vectorized common case.
+
+    If every valid row's cheapest column is distinct, assigning each
+    row its row-minimum reaches the sum-of-row-minima lower bound and
+    is therefore THE optimum — no loop needed.  Face-tracking frames
+    are almost always in this regime (each detection closest to its own
+    track), so the serial JV solve runs only on genuinely conflicted
+    frames (``lax.cond`` keeps it off the hot path; inside ``lax.scan``
+    the cond stays a real branch, not a select).
+    """
+    r_cap, c_cap = c.shape
+    jmin = jnp.argmin(c, axis=1).astype(jnp.int32)  # (R,)
+    counts = (
+        jnp.zeros((c_cap,), jnp.int32)
+        .at[jnp.where(row_valid, jmin, c_cap)]
+        .add(1, mode="drop")
+    )
+    conflict = jnp.any(counts > 1)
+    fast = jnp.where(row_valid, jmin, -1)
+    return jax.lax.cond(
+        conflict, lambda: _lap_solve(c, row_valid), lambda: fast
+    )
+
+
 @jax.jit
 def lap_assign(
     cost: jnp.ndarray,
@@ -191,7 +216,7 @@ def lap_assign(
     cost = cost.astype(jnp.float32)
     if d <= t:
         c = jnp.where(trk_mask[None, :], cost, _PAD)
-        col4row = _lap_solve(c, det_mask)  # (d,) track per det
+        col4row = _solve_with_fast_path(c, det_mask)  # (d,) track per det
         j = jnp.clip(col4row, 0, t - 1)
         ok = (
             det_mask
@@ -206,7 +231,7 @@ def lap_assign(
         )
     # more detection slots than tracks: solve transposed (rows = tracks)
     c = jnp.where(det_mask[None, :], cost.T, _PAD)
-    col4row = _lap_solve(c, trk_mask)  # (t,) det per track
+    col4row = _solve_with_fast_path(c, trk_mask)  # (t,) det per track
     j = jnp.clip(col4row, 0, d - 1)
     ok = trk_mask & (col4row >= 0) & det_mask[j] & (cost[j, jnp.arange(t)] <= gate)
     return jnp.where(ok, j.astype(jnp.int32), -1)

@@ -110,3 +110,62 @@ def test_extract_variant_shared_for_yunet(tmp_path):
     n = len(eng._detect_jit_cache)
     eng.detect(frame, variant="extract")
     assert len(eng._detect_jit_cache) == n
+
+
+def test_retinaface_onnx_executor_fallback(tmp_path):
+    """The reference retinaface.onnx contract: NCHW input, 9 outputs in
+    the export's permuted order (retinaface_face_detector.py:108) with
+    NHWC (scores, bbox, lmk) triplets per stride [32,16,8] and face
+    probability in the last-A score channels.  A fixture graph with
+    that exact I/O contract must load via the executor and produce the
+    planted detection through the full jitted detect path."""
+    from fire_tpu.models.onnx_export import GraphBuilder
+
+    hw = 64
+    gb = GraphBuilder("retinaface_fixture")
+    gb.add_input("data", (1, 3, hw, hw))
+
+    # permuted slots: applying [7,1,4,8,0,3,6,2,5] must yield
+    # [sc32,bb32,lm32,sc16,bb16,lm16,sc8,bb8,lm8]
+    shapes = {}
+    for stride, tag in ((32, "32"), (16, "16"), (8, "8")):
+        g = hw // stride
+        shapes["sc" + tag] = (1, g, g, 4)
+        shapes["bb" + tag] = (1, g, g, 8)
+        shapes["lm" + tag] = (1, g, g, 20)
+    vals = {k: np.zeros(s, np.float32) for k, s in shapes.items()}
+    # plant one face: stride 8, cell (y=3, x=4), anchor 1 (base
+    # [0,0,15,15] -> box (32,24,47,39), safely inside the canvas)
+    vals["sc8"][0, 3, 4, 2 + 1] = 0.95
+
+    file_order = [None] * 9
+    logical = ["sc32", "bb32", "lm32", "sc16", "bb16", "lm16", "sc8", "bb8", "lm8"]
+    perm = [7, 1, 4, 8, 0, 3, 6, 2, 5]
+    for lidx, fidx in enumerate(perm):
+        file_order[fidx] = logical[lidx]
+    for name in file_order:
+        cname = gb.add_init("c_" + name, vals[name])
+        gb.add_node("Identity", [cname], [name])
+        gb.add_output(name, shapes[name])
+    onnx_bytes = gb.model_bytes()
+
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    (wdir / "retinaface.onnx").write_bytes(onnx_bytes)
+
+    cfg = RecognizerConfig(
+        detector_type="retinaface",
+        encoder_model_type="128",
+        weights_dir=str(wdir),
+        engine=EngineConfig(detect_size=(64, 64), retinaface_size=(64, 64),
+                            max_faces=8, max_encode=4),
+    ).with_embedding_dim()
+    eng = DeviceEngine(cfg)
+    frame = np.zeros((64, 64, 3), np.uint8)
+    d = eng.detect(frame)
+    mask = np.asarray(d.mask)
+    assert mask.sum() == 1, mask
+    i = int(np.nonzero(mask)[0][0])
+    assert abs(float(np.asarray(d.scores)[i]) - 0.95) < 1e-3
+    x, y, w, h = np.asarray(d.boxes_xywh)[i]
+    assert 30 <= x <= 34 and 22 <= y <= 26 and 13 <= w <= 18 and 13 <= h <= 18, (x, y, w, h)

@@ -1,5 +1,6 @@
 """Eval harness (AUC), image IO helpers, training data loader."""
 
+import os
 import base64
 
 import cv2
@@ -106,3 +107,54 @@ def test_legacy_alignment_procedure(rng):
     # box projection stays in bounds
     box = rotate_facial_area((20, 20, 60, 60), angle, direction, (100, 100))
     assert 0 <= box[0] <= box[2] <= 100 and 0 <= box[1] <= box[3] <= 100
+
+
+def test_synth_dataset_layout_and_determinism(tmp_path):
+    """fire_tpu.train.synth writes the identity-folder layout; identity
+    parameters are seed-stable while augmentations differ per image."""
+    from fire_tpu.train.synth import generate
+
+    tr, te = generate(str(tmp_path), n_identities=3, images_per_id=2,
+                      holdout_per_id=1, size=48, seed=5)
+    ids = sorted(os.listdir(tr))
+    assert ids == ["id0000", "id0001", "id0002"]
+    imgs = sorted(os.listdir(os.path.join(tr, "id0000")))
+    assert len(imgs) == 2
+    a = cv2.imread(os.path.join(tr, "id0000", imgs[0]))
+    b = cv2.imread(os.path.join(tr, "id0000", imgs[1]))
+    assert a.shape == (48, 48, 3) and not np.array_equal(a, b)  # augmented
+    # held-out split exists with fresh draws of the same identities
+    assert sorted(os.listdir(te)) == ids
+    # same seed → same pixels
+    tr2, _ = generate(str(tmp_path / "again"), n_identities=3, images_per_id=2,
+                      holdout_per_id=1, size=48, seed=5)
+    a2 = cv2.imread(os.path.join(tr2, "id0000", imgs[0]))
+    assert np.array_equal(a, a2)
+
+
+def test_encode_directory_direct_path(tmp_path):
+    """eval.encode_directory encodes pre-cropped identity folders
+    without detection and keeps folder labels."""
+    from types import SimpleNamespace
+
+    from fire_tpu.eval import encode_directory, identification_auc
+    from fire_tpu.train.synth import generate
+
+    tr, _ = generate(str(tmp_path), n_identities=4, images_per_id=3,
+                     holdout_per_id=1, size=48, seed=1)
+
+    rng_proj = np.random.default_rng(0)
+    w = rng_proj.standard_normal((48 * 48 * 3, 32)).astype(np.float32)
+
+    def encode_faces(batch01):
+        assert batch01.shape[1:] == (160, 160, 3)  # eval resizes to encoder input
+        x = batch01[:, ::4, ::4, :]  # (B, 40, 40, 3) cheap downsample
+        x = np.pad(x, ((0, 0), (0, 8), (0, 8), (0, 0)))[:, :48, :48]
+        return x.reshape(x.shape[0], -1) @ w
+
+    eng = SimpleNamespace(encode_faces=encode_faces)
+    embs, labels = encode_directory(eng, tr)
+    assert embs.shape == (12, 32) and len(labels) == 12
+    assert sorted(set(labels)) == ["id0000", "id0001", "id0002", "id0003"]
+    aucs = identification_auc(embs, labels)
+    assert 0.0 <= aucs["cosine"] <= 1.0

@@ -54,7 +54,7 @@ def test_decode_yunet_planted_face():
 
 
 def test_blazeface_shapes_and_decode():
-    model = BlazeFace(width=8, dtype=jnp.float32)
+    model = BlazeFace(dtype=jnp.float32)
     x = jnp.zeros((1, 128, 128, 3))
     variables = model.init(jax.random.PRNGKey(0), x)
     scores, regs = model.apply(variables, x)
