@@ -355,21 +355,57 @@ class FaceRecognition:
 
     # ----------------------------------------------------------- hot path --
 
-    def enroll_unknown_now(self, emb: np.ndarray, rename_label: Optional[str] = None) -> str:
+    def enroll_unknown_now(self, emb: np.ndarray, rename_label: Optional[str] = None,
+                           best_sim: Optional[float] = None,
+                           best_gid: Optional[int] = None) -> str:
         """Immediate enrollment for the batched pipeline, where the
         unknown-trigger accumulation already happened on device
         (fire_tpu.pipeline.batch_engine): dedup against the gallery,
-        then enroll under ``rename_label`` or a fresh Unknown_* label."""
+        then enroll under ``rename_label`` or a fresh Unknown_* label.
+
+        ``best_sim``/``best_gid`` carry the device-computed best gallery
+        match of this embedding (shipped in the enroll buffer), so the
+        dedup check (face_recognition.py:342-352) costs no device
+        round-trip — on the tunnelled platform a per-enrollment query
+        is a ~50 ms stall.  The device match is a snapshot from step
+        submit time, so identities enrolled after it (same batch, or a
+        previous batch still in flight under submit/collect pipelining)
+        are covered by a small host-side window of recent enrollments.
+        """
+        window = getattr(self, "_recent_enrollments", None)
+        if window is None:
+            window = self._recent_enrollments = []
+
+        def _record(pre_count: int) -> None:
+            if self.gallery.count > pre_count:  # add not refused at capacity
+                window.append((np.asarray(emb, np.float32), self.gallery.count - 1))
+                del window[:-64]
+
         if rename_label:
+            pre = self.gallery.count
             self._enroll_now(rename_label, emb)
+            _record(pre)
             self.gallery.save()
             return rename_label
-        if self.gallery.count > 0:
+        if best_sim is not None:
+            if (
+                best_sim > self.similarity_threshold
+                and best_gid is not None
+                and 0 <= best_gid < self.gallery.count
+            ):
+                return self.gallery.labels[int(best_gid)]
+            # post-snapshot enrollments the device query couldn't see
+            for vec, gid in window:
+                if float(vec @ emb) > self.similarity_threshold and gid < self.gallery.count:
+                    return self.gallery.labels[gid]
+        elif self.gallery.count > 0:
             ids, dists = self.gallery.query(emb, k=1)
             if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
                 return self.gallery.labels[int(ids[0][0])]
         label = self._generate_unique_label()
+        pre = self.gallery.count
         self._enroll_now(label, emb)
+        _record(pre)
         self.gallery.save()
         return label
 

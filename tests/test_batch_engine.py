@@ -156,10 +156,10 @@ def test_stream_results_host_semantics(bse, tmp_path):
         def _enroll_now(self, label, emb):
             gal.add(emb, label, db_id=len(gal.labels) + 1)
 
-        def enroll_unknown_now(self, emb, rename_label=None):
+        def enroll_unknown_now(self, emb, rename_label=None, **kw):
             from fire_tpu.pipeline.recognizer import FaceRecognition
 
-            return FaceRecognition.enroll_unknown_now(self, emb, rename_label)
+            return FaceRecognition.enroll_unknown_now(self, emb, rename_label, **kw)
 
         def update_label(self, gid, label):
             gal.labels[gid] = label
