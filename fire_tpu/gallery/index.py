@@ -409,6 +409,8 @@ class ShardedGalleryView:
     SQLite); call :meth:`refresh` after enrollments to re-shard.
     """
 
+    _BLOCK = 128  # incremental-refresh granularity (gallery.padded is a multiple)
+
     def __init__(self, gallery: DeviceGallery, mesh, axis: str = "dp"):
         from fire_tpu.parallel.sharded_gallery import shard_gallery
 
@@ -416,27 +418,58 @@ class ShardedGalleryView:
         self.mesh = mesh
         self.axis = axis
         self._shard = shard_gallery
+        self._gal_sharded = None
+        self._synced = 0  # gallery rows reflected in the sharded copy
         self.refresh()
 
-    def refresh(self) -> None:
-        n = self.mesh.shape[self.axis]
-        pad = ((self.gallery.padded + n - 1) // n) * n
+    def refresh(self, force: bool = False) -> None:
+        """Sync the sharded copy with the host gallery.
+
+        Enrollment appends rows, so the usual case re-ships only the
+        128-row blocks touched since the last sync (a donated sharded
+        dynamic-update-slice, O(block) traffic); a full re-shard happens
+        only on first build, shrink (rebuild-from-SQLite recovery), or
+        mesh-size change.  Validity needs no mask array at all — the
+        query derives it per shard from the replicated row count.
+        """
+        from fire_tpu.parallel.sharded_gallery import update_sharded_rows
+
         gal = self.gallery._gal
-        if pad != gal.shape[0]:
-            gal = jnp.pad(gal, ((0, pad - gal.shape[0]), (0, 0)))
-        self._gal_sharded = self._shard(self.mesh, gal, self.axis)
-        valid = jnp.arange(pad) < self.gallery.count
-        self._valid_sharded = self._shard(self.mesh, valid, self.axis)
+        n = self.mesh.shape[self.axis]
+        pad = ((gal.shape[0] + n - 1) // n) * n
+        count = self.gallery.count
+        if (
+            force
+            or self._gal_sharded is None
+            or count < self._synced
+            or self._gal_sharded.shape[0] != pad
+        ):
+            if pad != gal.shape[0]:
+                gal = jnp.pad(gal, ((0, pad - gal.shape[0]), (0, 0)))
+            self._gal_sharded = self._shard(self.mesh, gal, self.axis)
+            self._synced = count
+            return
+        bk = self._BLOCK
+        for bs in range((self._synced // bk) * bk, count, bk):
+            block = np.asarray(gal[bs : bs + bk])
+            if block.shape[0] < bk:  # pad-boundary tail (mesh > padded/128)
+                block = np.pad(block, ((0, bk - block.shape[0]), (0, 0)))
+            start = min(bs, self._gal_sharded.shape[0] - bk)
+            self._gal_sharded = update_sharded_rows(self._gal_sharded, block, start)
+        self._synced = count
 
     def query_batch(self, embeddings: np.ndarray, k: int = 1):
         """Same contract as DeviceGallery.query_batch, sharded."""
         from fire_tpu.parallel.sharded_gallery import sharded_cosine_topk
 
-        if self.gallery.count == 0:
+        count = self.gallery.count
+        if count == 0:
             return None, None
+        if count != self._synced:
+            self.refresh()
         q = jax.device_put(np.asarray(embeddings, np.float32))
         sims, idx = sharded_cosine_topk(
-            self.mesh, q, self._gal_sharded, self._valid_sharded,
-            k=min(k, self.gallery.count), axis=self.axis,
+            self.mesh, q, self._gal_sharded, jnp.int32(count),
+            k=min(k, count), axis=self.axis,
         )
         return np.asarray(idx), 1.0 - np.asarray(sims)

@@ -264,6 +264,19 @@ class DeviceEngine:
         self.det_vars = {"params": params} if not stats else {"params": params, "batch_stats": stats}
         log.info("Imported BlazeFace weights from %s.", path)
 
+    def load_blazeface_tflite_weights(self, path: str) -> None:
+        """Import BlazeFace weights directly from MediaPipe's
+        distribution format — the .tflite flatbuffer the reference's
+        native graph consumes (mediapipe_face_detector.py:28-33) — with
+        no ONNX conversion step."""
+        from fire_tpu.models.tflite_import import assign_blazeface_tflite, read_tflite
+
+        params = assign_blazeface_tflite(
+            jax.tree.map(np.asarray, self.det_vars["params"]), read_tflite(path)
+        )
+        self.det_vars = {"params": params}
+        log.info("Imported BlazeFace weights from TFLite file %s.", path)
+
     def _use_onnx_blazeface(self, path: str) -> None:
         """Run a BlazeFace ONNX graph exactly: [-1,1] RGB NCHW input,
         four NCHW head maps → adapt to the (scores, regs) contract
@@ -354,6 +367,16 @@ class DeviceEngine:
                     log.warning("YuNet import mismatch (%s); executor fallback.", e)
                     self._use_onnx_yunet(det_path)
         elif self.cfg.detector_type in ("mediapipe", "blazeface"):
+            for fname in ("face_detection_short_range.tflite", "blazeface.tflite"):
+                det_path = os.path.join(wdir, fname)
+                if not os.path.exists(det_path):
+                    continue
+                try:
+                    self.load_blazeface_tflite_weights(det_path)
+                    return
+                except ValueError as e:
+                    log.warning("BlazeFace TFLite import failed (%s).", e)
+                break
             for fname in ("blazeface.onnx", "face_detection_short_range.onnx"):
                 det_path = os.path.join(wdir, fname)
                 if not os.path.exists(det_path):

@@ -1,10 +1,17 @@
-"""Training CLI smoke test on a tiny synthetic dataset."""
+"""Training CLI smoke test on a tiny synthetic dataset.
+
+Uses the reduced-depth ``tiny_facenet`` (same layer types, ~1% FLOPs)
+so the dp×mp-sharded step compiles in seconds on the 8-device virtual
+CPU mesh — the full FaceNet's sharded CPU compile takes minutes and was
+the long pole of the whole suite.  Full-size training is covered by
+the real-TPU run documented in README §Training, and the sharded step
+itself by tests/test_parallel.py.
+"""
 
 import sys
 
 import cv2
 import numpy as np
-import pytest
 from flax import serialization
 
 
@@ -17,9 +24,19 @@ def test_train_cli_end_to_end(tmp_path, rng, monkeypatch):
             img = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
             cv2.imwrite(str(d / f"{i}.jpg"), img)
 
+    from fire_tpu.models import facenet as fn_mod
+
+    RealFaceNet = fn_mod.FaceNet
+
+    def tiny_ctor(embed_dim, dtype, dropout_rate=0.0):
+        return RealFaceNet(
+            embed_dim=int(embed_dim), depths=(1, 1, 1), stem_width=8,
+            dtype=dtype, dropout_rate=dropout_rate,
+        )
+
+    monkeypatch.setattr(fn_mod, "FaceNet", tiny_ctor)
+
     out = tmp_path / "enc.msgpack"
-    # tiny model via monkeypatching FaceNet defaults would be invasive;
-    # instead use the small image size + 1 epoch (full model, 1 step)
     monkeypatch.setattr(
         sys, "argv",
         ["fire_tpu.train", "--data", str(tmp_path / "data"),
@@ -31,13 +48,11 @@ def test_train_cli_end_to_end(tmp_path, rng, monkeypatch):
     main()
     assert out.exists() and out.stat().st_size > 1000
 
-    # the exported variables load back into a FaceNet variable tree
+    # the exported variables load back into the matching variable tree
     import jax
     import jax.numpy as jnp
 
-    from fire_tpu.models.facenet import FaceNet
-
-    model = FaceNet(embed_dim=128, dtype=jnp.float32)
+    model = tiny_ctor(128, jnp.float32)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
     template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     with open(out, "rb") as f:
