@@ -116,9 +116,11 @@ def main() -> None:
 
         trial_fps = []
         # enough steps per trial that submit/collect pipelining amortizes
-        # the tunnel's per-readback latency (high variance at 2 steps)
+        # the tunnel's per-readback latency (high variance at 2 steps);
+        # enough trials that the tunnel's slow periods (~15% run-to-run
+        # swing observed) don't set the recorded headline
         n_steps = max(N_FRAMES // 5 // B, 4)
-        for trial in range(5):
+        for trial in range(10):
             t0 = time.time()
             pending = bse.submit(batch_dev)
             for _ in range(n_steps - 1):

@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Video mode: frames per device step (0 = classic per-frame pipeline)")
     p.add_argument("--profile", type=str, default=None,
                    help="Write a jax.profiler trace to this directory (view with TensorBoard/Perfetto)")
+    p.add_argument("--weights_dir", type=str, default="weights",
+                   help="Directory probed for reference weight files (facenet*.onnx, "
+                        "face_detection_yunet_2023mar.onnx, retinaface.onnx, "
+                        "face_detection_short_range.tflite)")
+    p.add_argument("--trained", type=str, default=None,
+                   help="Encoder variables from `python -m fire_tpu.train` (msgpack); "
+                        "overrides the encoder weights for this run")
     return p
 
 
@@ -89,6 +96,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         sqlite_db_path=args.sqlite_db_path,
         sqlite_db_encrypted_path=args.sqlite_db_encrypted_path,
         interested_label=args.interested_label,
+        weights_dir=args.weights_dir,
+        trained_encoder=args.trained,
     )
 
     if args.core:

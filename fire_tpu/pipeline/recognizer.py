@@ -96,6 +96,8 @@ class FaceRecognition:
         storage_root: str = "storage",
         engine: Optional[DeviceEngine] = None,
         tracker_cfg: Optional[TrackerConfig] = None,
+        weights_dir: Optional[str] = "weights",
+        trained_encoder: Optional[str] = None,
     ):
         encoder_model_type = encoder_model_type or "128"
         self.cfg = RecognizerConfig(
@@ -112,6 +114,7 @@ class FaceRecognition:
             encryption_password=encryption_password,
             interested_label=interested_label,
             storage_root=storage_root,
+            weights_dir=weights_dir,
             gallery=GalleryConfig(max_recent=max_recent, max_new=max_new),
         ).with_embedding_dim()
         cfg = self.cfg
@@ -162,6 +165,11 @@ class FaceRecognition:
 
         # device engine (detector + encoder jit graphs)
         self.engine = engine or DeviceEngine(cfg, params_dir=os.path.join(pipeline_dir, "params"))
+        if trained_encoder:
+            # encoder variables from `python -m fire_tpu.train` — the
+            # train→deploy loop the reference lacks (it ships frozen
+            # ONNX weights only, facenet_gpu.py:99-114)
+            self.engine.load_trained_encoder(trained_encoder)
         self.detect_faces = self.engine.detect_faces
         self.extract_faces = self.engine.extract_faces
 

@@ -106,6 +106,27 @@ def test_cli_accepts_every_reference_flag():
     with pytest.raises(SystemExit):
         p.parse_args(["--encoder", "256"])
 
+    # TPU-side extensions (not in the reference): weight sources
+    args = p.parse_args("--trained enc.msgpack --weights_dir w".split())
+    assert args.trained == "enc.msgpack" and args.weights_dir == "w"
+
+
+def test_trained_encoder_wired_to_engine(tmp_path):
+    """FaceRecognition(trained_encoder=...) must hand the path to the
+    engine (the train→deploy loop: `python -m fire_tpu.train` output
+    drives the recognition pipeline)."""
+    from tests.test_pipeline import FakeEngine
+
+    eng = FakeEngine()
+    loaded = []
+    eng.load_trained_encoder = lambda p: loaded.append(p)
+    FaceRecognition(
+        detector_type="yunet", encoder_model_type="128",
+        storage_root=str(tmp_path / "storage"), engine=eng,
+        trained_encoder="enc512.msgpack", enable_logging=False,
+    )
+    assert loaded == ["enc512.msgpack"]
+
 
 def test_factories_reference_contracts():
     """initialize_tracker / Encoder shims match the reference wiring."""
