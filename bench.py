@@ -103,7 +103,7 @@ def main() -> None:
 
     best = 0.0
     spread = {}
-    for B in (64, 128):
+    for B in (128, 256):
         bse = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg)
         batch_np = np.stack([frames[i % len(frames)] for i in range(B)])
         batch_dev = jax.device_put(batch_np)
