@@ -142,7 +142,8 @@ def main() -> None:
 
     # reference's frame-skip config (README.md:54: YuNet+512, skipping):
     # detector/encoder run every 3rd frame, tracker coasts between
-    B = 48
+    # (B=96: 48 was latency-bound — 1.2k vs 1.9k fps measured)
+    B = 96
     bse3 = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg, detection_interval=3)
     batch_dev = jax.device_put(np.stack([frames[i % len(frames)] for i in range(B)]))
     jax.block_until_ready(batch_dev)
