@@ -451,11 +451,20 @@ class ShardedGalleryView:
             return
         bk = self._BLOCK
         for bs in range((self._synced // bk) * bk, count, bk):
-            block = np.asarray(gal[bs : bs + bk])
-            if block.shape[0] < bk:  # pad-boundary tail (mesh > padded/128)
-                block = np.pad(block, ((0, bk - block.shape[0]), (0, 0)))
-            start = min(bs, self._gal_sharded.shape[0] - bk)
-            self._gal_sharded = update_sharded_rows(self._gal_sharded, block, start)
+            # gallery.padded is a multiple of _BLOCK, and count ≤
+            # capacity ≤ padded ≤ sharded pad, so every dirty block is
+            # full and in range — no clamping, which would silently
+            # misalign the write
+            assert bs + bk <= gal.shape[0] <= self._gal_sharded.shape[0]
+            # device-side slice → replicated placement on the mesh:
+            # the rows never round-trip through host memory
+            block = jax.device_put(
+                jax.lax.dynamic_slice_in_dim(gal, bs, bk, 0),
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(None, None)
+                ),
+            )
+            self._gal_sharded = update_sharded_rows(self._gal_sharded, block, bs)
         self._synced = count
 
     def query_batch(self, embeddings: np.ndarray, k: int = 1):

@@ -174,15 +174,30 @@ def read_tflite(path_or_bytes) -> TfliteModel:
     else:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
+    if data.startswith(b"version https://git-lfs"):
+        # same contract as the ONNX reader: a Git-LFS pointer stub is
+        # "file absent", not "file malformed" (onnx_import LFS handling)
+        raise FileNotFoundError(
+            "TFLite file is a Git-LFS pointer stub, not the actual weights"
+        )
     if len(data) < 8:
         raise ValueError("not a TFLite flatbuffer: file too small")
     fb = _Fb(data)
     model = fb.root()
-    if data[4:8] not in (b"TFL3", b"\x00\x00\x00\x00"):
-        # absent identifier is legal flatbuffers; anything else is not tflite
-        if not all(32 <= c < 127 for c in data[4:8]):
-            raise ValueError("not a TFLite flatbuffer: bad file identifier")
+    if not 4 <= model <= len(data) - 4:
+        raise ValueError("not a TFLite flatbuffer: root offset out of range")
+    if data[4:8] != b"TFL3":
+        # tflite files always carry the TFL3 identifier; anything else
+        # (text files, other formats) is rejected before table parsing
+        raise ValueError("not a TFLite flatbuffer: bad file identifier")
 
+    try:
+        return _parse_model(fb, model)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"malformed TFLite flatbuffer: {e}") from e
+
+
+def _parse_model(fb: _Fb, model: int) -> TfliteModel:
     buffers: List[bytes] = [
         fb.u8_vector_bytes(b, 0) for b in fb.table_vector(model, 4)
     ]

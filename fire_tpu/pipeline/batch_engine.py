@@ -81,11 +81,6 @@ class BatchResults(NamedTuple):
     enroll_emb: jnp.ndarray    # (MAX_ENROLL, D) f32
     enroll_frame: jnp.ndarray  # (MAX_ENROLL,) int32 (-1 = empty slot)
     enroll_slot: jnp.ndarray   # (MAX_ENROLL,) int32
-    # best gallery match of each candidate AT STEP TIME (pre-threshold):
-    # lets the host dedup an enrollment without a device query round-trip
-    # (the reference's dedup-vs-gallery at face_recognition.py:342-352)
-    enroll_gid: jnp.ndarray    # (MAX_ENROLL,) int32
-    enroll_sim: jnp.ndarray    # (MAX_ENROLL,) f32
 
 
 def make_stream_state(tcfg: TrackerConfig, dim: int) -> StreamState:
@@ -161,12 +156,10 @@ def _track_scan(
             out.mask,
             enroll & out.mask,
             temb,
-            jnp.where(has_det, tgid, -1),   # raw best match (pre-threshold)
-            jnp.where(has_det, tsim, 0.0),
         )
         return new_state, res
 
-    state, (tid, boxes, gid, sim, mask, enroll, emb, gid_raw, sim_raw) = jax.lax.scan(
+    state, (tid, boxes, gid, sim, mask, enroll, emb) = jax.lax.scan(
         step, state, (det_boxes, det_mask, det_gid, det_sim, det_emb)
     )
 
@@ -178,8 +171,6 @@ def _track_scan(
     e_frame = jnp.where(valid, (top // t_cap).astype(jnp.int32), -1)
     e_slot = (top % t_cap).astype(jnp.int32)
     e_emb = emb.reshape(b * t_cap, -1)[top] * valid[:, None]
-    e_gid = jnp.where(valid, gid_raw.reshape(-1)[top], -1)
-    e_sim = jnp.where(valid, sim_raw.reshape(-1)[top], 0.0)
 
     # Starvation guard: a track that fired `enroll` but was compacted
     # out of the MAX_ENROLL buffer latched pending=True without ever
@@ -192,7 +183,7 @@ def _track_scan(
     fired = enroll.any(axis=0)
     state = state._replace(pending=state.pending & ~(fired & ~delivered))
     return state, BatchResults(
-        tid, boxes, gid, sim, mask, enroll, e_emb, e_frame, e_slot, e_gid, e_sim
+        tid, boxes, gid, sim, mask, enroll, e_emb, e_frame, e_slot
     )
 
 
@@ -218,12 +209,11 @@ def pack_results(res: BatchResults) -> jnp.ndarray:
 def unpack_results(buf: np.ndarray, b: int, t: int, d: int) -> BatchResults:
     """Host-side inverse of :func:`pack_results` (buf: int32)."""
     sizes = [b * t, b * t * 4, b * t, b * t, b * t, b * t,
-             MAX_ENROLL * d, MAX_ENROLL, MAX_ENROLL, MAX_ENROLL, MAX_ENROLL]
+             MAX_ENROLL * d, MAX_ENROLL, MAX_ENROLL]
     shapes = [(b, t), (b, t, 4), (b, t), (b, t), (b, t), (b, t),
-              (MAX_ENROLL, d), (MAX_ENROLL,), (MAX_ENROLL,), (MAX_ENROLL,),
-              (MAX_ENROLL,)]
+              (MAX_ENROLL, d), (MAX_ENROLL,), (MAX_ENROLL,)]
     dtypes = [np.int32, np.int32, np.int32, np.float32, bool, bool,
-              np.float32, np.int32, np.int32, np.int32, np.float32]
+              np.float32, np.int32, np.int32]
     out, off = [], 0
     for n, shp, dt in zip(sizes, shapes, dtypes):
         chunk = buf[off : off + n]
@@ -381,7 +371,7 @@ def stream_results(
     b = res.tid.shape[0]
     gal = recognizer.gallery
     enroll_embs = {
-        (int(fr), int(sl)): (res.enroll_emb[i], int(res.enroll_gid[i]), float(res.enroll_sim[i]))
+        (int(fr), int(sl)): res.enroll_emb[i]
         for i, (fr, sl) in enumerate(zip(res.enroll_frame, res.enroll_slot))
         if fr >= 0
     }
@@ -400,12 +390,18 @@ def stream_results(
             elif tid in enrolled_labels:
                 label, conf = enrolled_labels[tid], 1.0
             elif res.enroll[f, slot] and (f, int(slot)) in enroll_embs:
-                emb, best_gid, best_sim = enroll_embs[(f, int(slot))]
+                emb = enroll_embs[(f, int(slot))]
                 n = np.linalg.norm(emb)
                 if n == 0:
                     continue
+                # device_checked: the enroll flag itself proves this
+                # embedding scored <= similarity_threshold against the
+                # gallery snapshot at step time (a higher score would
+                # have assigned the track an identity instead), so the
+                # host only has to dedup against post-snapshot
+                # enrollments — the recognizer's recent window.
                 label = recognizer.enroll_unknown_now(
-                    emb / n, rename_label, best_sim=best_sim, best_gid=best_gid
+                    emb / n, rename_label, device_checked=True
                 )
                 enrolled_labels[tid] = label
                 conf = 1.0

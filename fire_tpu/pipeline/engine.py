@@ -170,11 +170,25 @@ class DeviceEngine:
                      "(embeddings stay stable across sessions).", path)
 
     def load_trained_encoder(self, path: str) -> None:
-        """Load encoder variables produced by ``python -m fire_tpu.train``."""
+        """Load encoder variables produced by ``python -m fire_tpu.train``.
+
+        The msgpack holds a Flax FaceNet variable tree, so the template
+        is rebuilt from the Flax module rather than taken from
+        ``self.enc_vars`` — which may hold a flat ONNX-executor param
+        dict if startup probing fell back to executing a mismatched
+        real ONNX file (`_use_onnx_encoder`).  The forward is reset to
+        the Flax graph for the same reason: trained weights fed to the
+        executor graph would be silently wrong."""
         from flax import serialization
 
+        enc_in = jnp.zeros((1, *self.cfg.engine.encode_size, 3), jnp.float32)
+        template = _materialize(
+            jax.eval_shape(self.encoder.init, jax.random.PRNGKey(0), enc_in), 0
+        )
         with open(path, "rb") as f:
-            self.enc_vars = serialization.from_bytes(self.enc_vars, f.read())
+            restored = serialization.from_bytes(template, f.read())
+        self.enc_vars = jax.tree.map(jnp.asarray, restored)
+        self._enc_fn = lambda v, x: self.encoder.apply(v, x)
         log.info("Loaded trained encoder variables from %s.", path)
 
     def load_onnx_weights(self, facenet_onnx: str) -> None:
@@ -374,6 +388,8 @@ class DeviceEngine:
                 try:
                     self.load_blazeface_tflite_weights(det_path)
                     return
+                except FileNotFoundError as e:  # LFS stub
+                    log.info("%s", e)
                 except ValueError as e:
                     log.warning("BlazeFace TFLite import failed (%s).", e)
                 break

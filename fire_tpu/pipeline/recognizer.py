@@ -364,21 +364,23 @@ class FaceRecognition:
     # ----------------------------------------------------------- hot path --
 
     def enroll_unknown_now(self, emb: np.ndarray, rename_label: Optional[str] = None,
-                           best_sim: Optional[float] = None,
-                           best_gid: Optional[int] = None) -> str:
+                           device_checked: bool = False) -> str:
         """Immediate enrollment for the batched pipeline, where the
         unknown-trigger accumulation already happened on device
         (fire_tpu.pipeline.batch_engine): dedup against the gallery,
         then enroll under ``rename_label`` or a fresh Unknown_* label.
 
-        ``best_sim``/``best_gid`` carry the device-computed best gallery
-        match of this embedding (shipped in the enroll buffer), so the
-        dedup check (face_recognition.py:342-352) costs no device
-        round-trip — on the tunnelled platform a per-enrollment query
-        is a ~50 ms stall.  The device match is a snapshot from step
-        submit time, so identities enrolled after it (same batch, or a
-        previous batch still in flight under submit/collect pipelining)
-        are covered by a small host-side window of recent enrollments.
+        ``device_checked=True`` asserts the batched step already
+        compared this embedding against the gallery snapshot at step
+        time (the enroll flag only fires when that similarity is ≤ the
+        threshold — otherwise the track takes the identity), so the
+        per-enrollment device query (a ~50 ms stall on the tunnelled
+        platform, face_recognition.py:342-352 semantics) is skipped.
+        Rows enrolled AFTER the snapshot — same batch, or a previous
+        batch still in flight under submit/collect pipelining — are
+        covered by a host-side window of recent enrollments; its size
+        (64) dominates the pipelining bound of 2·MAX_ENROLL=16
+        post-snapshot rows.
         """
         window = getattr(self, "_recent_enrollments", None)
         if window is None:
@@ -395,14 +397,8 @@ class FaceRecognition:
             _record(pre)
             self.gallery.save()
             return rename_label
-        if best_sim is not None:
-            if (
-                best_sim > self.similarity_threshold
-                and best_gid is not None
-                and 0 <= best_gid < self.gallery.count
-            ):
-                return self.gallery.labels[int(best_gid)]
-            # post-snapshot enrollments the device query couldn't see
+        if device_checked:
+            # only the post-snapshot rows need checking
             for vec, gid in window:
                 if float(vec @ emb) > self.similarity_threshold and gid < self.gallery.count:
                     return self.gallery.labels[gid]

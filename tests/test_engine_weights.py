@@ -169,3 +169,39 @@ def test_retinaface_onnx_executor_fallback(tmp_path):
     assert abs(float(np.asarray(d.scores)[i]) - 0.95) < 1e-3
     x, y, w, h = np.asarray(d.boxes_xywh)[i]
     assert 30 <= x <= 34 and 22 <= y <= 26 and 13 <= w <= 18 and 13 <= h <= 18, (x, y, w, h)
+
+
+def test_load_trained_encoder_resets_executor_fallback(tmp_path):
+    """--trained must work even when startup probing fell back to the
+    ONNX executor for the encoder: load_trained_encoder rebuilds the
+    Flax template (the executor's flat param dict cannot deserialize a
+    FaceNet tree) and points the forward back at the Flax graph."""
+    import jax
+    import numpy as np
+    from flax import serialization
+
+    from fire_tpu.config import RecognizerConfig
+    from fire_tpu.pipeline.engine import DeviceEngine
+
+    cfg = RecognizerConfig(
+        detector_type="yunet", encoder_model_type="128", weights_dir=None
+    ).with_embedding_dim()
+    eng = DeviceEngine(cfg)
+
+    # snapshot a valid trained-variables file from the pristine engine
+    blob = serialization.to_bytes(
+        jax.tree.map(np.asarray, {"params": eng.enc_vars["params"],
+                                  "batch_stats": eng.enc_vars["batch_stats"]})
+    )
+    out = tmp_path / "enc.msgpack"
+    out.write_bytes(blob)
+
+    # simulate the executor fallback: flat param dict + foreign forward
+    eng.enc_vars = {"w0": np.zeros((3, 3), np.float32)}
+    eng._enc_fn = lambda v, x: (_ for _ in ()).throw(AssertionError("executor fn"))
+
+    eng.load_trained_encoder(str(out))
+    assert "params" in eng.enc_vars and "batch_stats" in eng.enc_vars
+    x = np.zeros((1, 160, 160, 3), np.float32)
+    emb = eng._enc_fn(eng.enc_vars, x)  # Flax forward again
+    assert emb.shape == (1, 128)

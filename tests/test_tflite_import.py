@@ -119,6 +119,36 @@ def test_mismatch_rejected():
         read_tflite(b"\x00" * 4)
 
 
+def test_lfs_stub_and_garbage_rejected_cleanly(tmp_path):
+    """A Git-LFS pointer stub raises FileNotFoundError (same contract
+    as the ONNX reader — 'file absent', not 'malformed'), and arbitrary
+    garbage raises ValueError, never struct.error/IndexError; engine
+    startup probing must survive both with random init."""
+    stub = tmp_path / "face_detection_short_range.tflite"
+    stub.write_bytes(
+        b"version https://git-lfs.github.com/spec/v1\n"
+        b"oid sha256:deadbeef\nsize 229032\n"
+    )
+    with pytest.raises(FileNotFoundError, match="Git-LFS"):
+        read_tflite(str(stub))
+
+    with pytest.raises(ValueError):
+        read_tflite(b"TFL3TFL3" + b"\xff" * 64)  # bad root offset
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError):
+        # valid-looking header, garbage tables
+        read_tflite(b"\x10\x00\x00\x00TFL3" + rng.bytes(256))
+
+    from fire_tpu.config import RecognizerConfig
+    from fire_tpu.pipeline.engine import DeviceEngine
+
+    cfg = RecognizerConfig(
+        detector_type="mediapipe", encoder_model_type="128",
+        weights_dir=str(tmp_path),
+    ).with_embedding_dim()
+    DeviceEngine(cfg)  # must not raise (falls back to random init)
+
+
 def test_engine_probes_tflite(tmp_path, monkeypatch):
     """DeviceEngine startup probing picks up the reference's
     face_detection_short_range.tflite for the mediapipe slot."""
