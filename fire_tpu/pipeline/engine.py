@@ -160,7 +160,12 @@ class DeviceEngine:
             state = serialization.from_bytes(
                 {"enc": self.enc_vars, "det": self.det_vars}, blob
             )
-            self.enc_vars, self.det_vars = state["enc"], state["det"]
+            # from_bytes yields numpy leaves; committed device arrays
+            # keep every later jit call on the C++ fast path (a numpy
+            # leaf in a ~500-leaf tree costs ~130 ms/call in Python
+            # dispatch on this host — docs/DESIGN.md §4)
+            self.enc_vars = jax.tree.map(jnp.asarray, state["enc"])
+            self.det_vars = jax.tree.map(jnp.asarray, state["det"])
             log.info("Loaded model parameters from %s.", path)
         elif path:
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -202,7 +207,7 @@ class DeviceEngine:
             jax.tree.map(np.asarray, self.enc_vars["batch_stats"]),
             graph,
         )
-        self.enc_vars = {"params": params, "batch_stats": stats}
+        self.enc_vars = jax.tree.map(jnp.asarray, {"params": params, "batch_stats": stats})
         log.info("Imported FaceNet weights from %s.", facenet_onnx)
 
     def load_yunet_onnx_weights(self, yunet_onnx: str) -> None:
@@ -215,7 +220,7 @@ class DeviceEngine:
             jax.tree.map(np.asarray, self.det_vars["batch_stats"]),
             graph,
         )
-        self.det_vars = {"params": params, "batch_stats": stats}
+        self.det_vars = jax.tree.map(jnp.asarray, {"params": params, "batch_stats": stats})
         log.info("Imported YuNet weights from %s.", yunet_onnx)
 
     def _use_onnx_encoder(self, path: str) -> None:
@@ -275,7 +280,10 @@ class DeviceEngine:
             jax.tree.map(np.asarray, self.det_vars.get("batch_stats", {})),
             graph,
         )
-        self.det_vars = {"params": params} if not stats else {"params": params, "batch_stats": stats}
+        self.det_vars = jax.tree.map(
+            jnp.asarray,
+            {"params": params} if not stats else {"params": params, "batch_stats": stats},
+        )
         log.info("Imported BlazeFace weights from %s.", path)
 
     def load_blazeface_tflite_weights(self, path: str) -> None:
@@ -288,7 +296,7 @@ class DeviceEngine:
         params = assign_blazeface_tflite(
             jax.tree.map(np.asarray, self.det_vars["params"]), read_tflite(path)
         )
-        self.det_vars = {"params": params}
+        self.det_vars = jax.tree.map(jnp.asarray, {"params": params})
         log.info("Imported BlazeFace weights from TFLite file %s.", path)
 
     def _use_onnx_blazeface(self, path: str) -> None:
