@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 
 
@@ -45,7 +46,9 @@ def main() -> None:
     from fire_tpu.models.facenet import FaceNet
     from fire_tpu.parallel.mesh import make_mesh
     from fire_tpu.train.data import IdentityFolderDataset, batches
-    from fire_tpu.train.trainer import init_state, make_train_step, save_checkpoint
+    from fire_tpu.train.trainer import (
+        init_state, make_train_step, restore_checkpoint, save_checkpoint,
+    )
 
     ds = IdentityFolderDataset(args.data)
     log.info("dataset: %d images, %d identities", len(ds), ds.num_classes)
@@ -54,6 +57,22 @@ def main() -> None:
     optimizer = optax.adamw(args.lr)
     hw = (args.image_size, args.image_size)
     state = init_state(model, jax.random.PRNGKey(0), ds.num_classes, optimizer, image_hw=hw)
+
+    if args.checkpoint_dir and os.path.isdir(args.checkpoint_dir):
+        # resume from the newest step_<N> checkpoint, if any
+        steps = sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(args.checkpoint_dir)
+            if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+        )
+        if steps:
+            path = os.path.abspath(os.path.join(args.checkpoint_dir, f"step_{steps[-1]}"))
+            state = restore_checkpoint(path, state)
+            # uncommitted host leaves: the (possibly mesh-sharded) step
+            # is free to place them; restored arrays pinned to one
+            # device would conflict with the dp×mp ARG_SHARDING
+            state = jax.tree.map(np.asarray, state)
+            log.info("resumed from %s (step %d)", path, int(state.step))
 
     n_dev = len(jax.devices())
     mesh = None
@@ -73,7 +92,10 @@ def main() -> None:
             log.info("step %d  loss %.4f  (%.1f img/s)", step, float(loss),
                      step * args.batch / (time.time() - t0))
             if args.checkpoint_dir:
-                save_checkpoint(f"{args.checkpoint_dir}/step_{step}", state)
+                save_checkpoint(
+                    os.path.abspath(os.path.join(args.checkpoint_dir, f"step_{step}")),
+                    state,
+                )
 
     variables = {
         "params": jax.tree.map(np.asarray, state.params),

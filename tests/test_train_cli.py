@@ -60,3 +60,46 @@ def test_train_cli_end_to_end(tmp_path, rng, monkeypatch):
             {"params": template["params"], "batch_stats": template["batch_stats"]}, f.read()
         )
     assert "params" in restored and "batch_stats" in restored
+
+
+def test_train_cli_checkpoint_resume(tmp_path, rng, monkeypatch):
+    """--checkpoint_dir saves orbax step_<N> checkpoints and a second
+    run resumes from the newest one (step counter continues)."""
+    for ident in ("a", "b"):
+        d = tmp_path / "data" / ident
+        d.mkdir(parents=True)
+        for i in range(4):
+            img = rng.integers(0, 255, (96, 96, 3)).astype(np.uint8)
+            cv2.imwrite(str(d / f"{i}.jpg"), img)
+
+    from fire_tpu.models import facenet as fn_mod
+
+    RealFaceNet = fn_mod.FaceNet
+    monkeypatch.setattr(
+        fn_mod, "FaceNet",
+        lambda embed_dim, dtype, dropout_rate=0.0: RealFaceNet(
+            embed_dim=int(embed_dim), depths=(1, 1, 1), stem_width=8,
+            dtype=dtype, dropout_rate=dropout_rate,
+        ),
+    )
+
+    ckpt = tmp_path / "ckpt"
+    argv = ["fire_tpu.train", "--data", str(tmp_path / "data"),
+            "--encoder", "128", "--epochs", "1", "--batch", "8",
+            "--image_size", "96", "--out", str(tmp_path / "enc.msgpack"),
+            "--log_every", "1", "--checkpoint_dir", str(ckpt)]
+    from fire_tpu.train.__main__ import main
+
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    steps1 = {int(p.name.split("_")[1]) for p in ckpt.iterdir()
+              if p.name.startswith("step_")}
+    assert steps1
+
+    monkeypatch.setattr(sys, "argv", argv)
+    main()  # second run must resume, not restart at step 0
+    steps2 = {int(p.name.split("_")[1]) for p in ckpt.iterdir()
+              if p.name.startswith("step_")}
+    # a resumed run continues the step counter past the first run's
+    # newest checkpoint; a restart would re-save the same step numbers
+    assert max(steps2) > max(steps1)
