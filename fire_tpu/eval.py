@@ -105,6 +105,11 @@ def encode_directory(engine, root: str, size=(160, 160)):
         if batch:
             embs.extend(engine.encode_faces(np.stack(batch)))
             labels.extend(names)
+    if not embs:
+        raise ValueError(
+            f"no decodable images found under {root!r}: expected the "
+            "identity-folder layout <root>/<identity>/*.{jpg,png,bmp}"
+        )
     return np.stack(embs), labels
 
 

@@ -109,6 +109,7 @@ class DeviceGallery:
         self._snapshot_rows = 0
         self._journal_rows = 0
         self._labels_dirty = False  # a rename touched snapshot rows
+        self._force_compact = False  # recovery left stale files on disk
 
         paths = [index_path, labels_path, db_ids_path]
         if all(p and os.path.exists(p) for p in paths):
@@ -137,19 +138,26 @@ class DeviceGallery:
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
+        # atomic replace: a crash mid-write leaves the previous file
+        # intact instead of a torn one (torn triplets force a full
+        # rebuild-from-SQLite on next start — lossless but slow)
+        tmp = path + ".tmp"
         if self.encryptor:
-            self.encryptor.encrypt_and_write(path, data)
+            self.encryptor.encrypt_and_write(tmp, data)
         else:
-            with open(path, "wb") as f:
+            with open(tmp, "wb") as f:
                 f.write(data)
+        os.replace(tmp, path)
 
     @property
     def _journal_path(self) -> Optional[str]:
         return self.index_path + ".journal" if self.index_path else None
 
     def _read_journal(self):
-        """Yield (label, db_id, vec) tuples from the sidecar journal.
-        Raises on any malformed record (caller treats as corrupt)."""
+        """Yield (abs_row_index, label, db_id, vec) from the sidecar
+        journal.  Raises on any malformed record (caller treats as
+        corrupt).  ``abs_row_index`` is -1 for legacy records written
+        without one."""
         path = self._journal_path
         if not path or not os.path.exists(path):
             return
@@ -167,18 +175,31 @@ class DeviceGallery:
             off += n
             if self.encryptor:
                 payload = self.encryptor.decrypt_data(payload)
-            for label, db_id, blob in pickle.loads(payload):
+            rec = pickle.loads(payload)
+            if isinstance(rec, dict):  # current format: indexed record
+                start = int(rec["start"])
+                rows = rec["rows"]
+            else:  # legacy record: bare row list, no index
+                start, rows = -1, rec
+            for i, (label, db_id, blob) in enumerate(rows):
                 vec = np.frombuffer(blob, np.float32)
                 if vec.shape[0] != self.embedding_dim:
                     raise ValueError("journal row dim mismatch")
-                yield label, int(db_id), vec
+                yield (start + i if start >= 0 else -1), label, int(db_id), vec
 
-    def _append_journal(self, rows) -> None:
+    def _append_journal(self, rows, start_row: int) -> None:
         """Append one length-prefixed record holding ``rows`` =
-        [(label, db_id, vec), ...]."""
-        payload = pickle.dumps(
-            [(label, db_id, np.asarray(vec, np.float32).tobytes()) for label, db_id, vec in rows]
-        )
+        [(label, db_id, vec), ...] destined for gallery rows
+        ``start_row..start_row+len(rows)``.  The absolute index makes
+        replay idempotent: rows a crash left both in a fresh snapshot
+        AND in the journal are skipped on load instead of duplicated."""
+        payload = pickle.dumps({
+            "start": int(start_row),
+            "rows": [
+                (label, db_id, np.asarray(vec, np.float32).tobytes())
+                for label, db_id, vec in rows
+            ],
+        })
         if self.encryptor:
             payload = self.encryptor.encrypt_data(payload)
         with open(self._journal_path, "ab") as f:
@@ -198,9 +219,18 @@ class DeviceGallery:
             gal = np.zeros((self.padded, self.embedding_dim), np.float32)
             gal[: len(labels)] = mat
             self._snapshot_rows = len(labels)
-            # replay rows journaled since the last compaction
+            # replay rows journaled since the last compaction; indexed
+            # records are idempotent (skip rows the snapshot already
+            # holds — the crash window between snapshot write and
+            # journal removal would otherwise duplicate them)
             n_journal = 0
-            for label, db_id, vec in self._read_journal():
+            for abs_idx, label, db_id, vec in self._read_journal():
+                if abs_idx >= 0 and abs_idx < self._snapshot_rows:
+                    continue  # already compacted into the snapshot
+                if abs_idx >= 0 and abs_idx != self.count:
+                    raise ValueError(
+                        f"journal discontinuity: row {abs_idx} vs count {self.count}"
+                    )
                 if self.count >= self.capacity:
                     break
                 gal[self.count] = vec
@@ -220,6 +250,11 @@ class DeviceGallery:
             self.labels, self.db_ids = [], []
             self._gal = jnp.zeros((self.padded, self.embedding_dim), jnp.float32)
             self._snapshot_rows = self._journal_rows = 0
+            # the stale snapshot/journal files are still on disk; the
+            # next save must replace them wholesale or every later
+            # startup re-fails the load and re-appends the rebuilt rows
+            # to a journal that never shrinks
+            self._force_compact = True
             log.info("Initialized a new gallery due to loading failure.")
 
     def save(self, compact: bool = False) -> None:
@@ -239,6 +274,7 @@ class DeviceGallery:
         must_compact = (
             compact
             or self._labels_dirty
+            or self._force_compact
             or not have_snapshot
             or journal_after > self.journal_compact_threshold
         )
@@ -250,7 +286,7 @@ class DeviceGallery:
                 (self.labels[i], self.db_ids[i], fresh[i - persisted])
                 for i in range(persisted, self.count)
             ]
-            self._append_journal(rows)
+            self._append_journal(rows, start_row=persisted)
             self._journal_rows += len(rows)
             log.info("Appended %d rows to gallery journal.", len(rows))
             return
@@ -266,6 +302,7 @@ class DeviceGallery:
         self._snapshot_rows = self.count
         self._journal_rows = 0
         self._labels_dirty = False
+        self._force_compact = False
         log.info("Saved gallery index and mappings to disk (compacted).")
 
     save_hnswlib_index = save  # orchestrator-facing alias

@@ -160,9 +160,16 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     else:
         arr = np.zeros(0, dtype)
     # no dims field ⇒ 0-d scalar tensor (ONNX convention)
-    if arr.size == int(np.prod(dims)):
-        arr = arr.reshape(dims)
-    return name, arr
+    if arr.size != int(np.prod(dims)):
+        # payload/dims mismatch (external-data tensor, truncated field):
+        # fail at the parse site — a silently flat/empty array would
+        # surface later as an opaque XLA shape error (or a wrong result)
+        raise ValueError(
+            f"initializer {name!r}: payload has {arr.size} elements, "
+            f"dims {list(dims)} expect {int(np.prod(dims))} (external-data "
+            "tensors are not supported)"
+        )
+    return name, arr.reshape(dims)
 
 
 # AttributeProto.AttributeType

@@ -331,12 +331,17 @@ class DeviceEngine:
         log.info("Detector runs the exact ONNX graph from %s (executor).", path)
 
     def _use_onnx_retinaface(self, path: str) -> None:
-        """Run the reference's RetinaFace ONNX graph exactly (NCHW
-        raw-pixel input, 9 outputs in the export's permuted order,
-        retinaface_face_detector.py:108) and adapt to the NHWC head
-        contract decode_retinaface expects.  Per-stride output triplets
-        are (scores, bbox, landmarks) for strides [32, 16, 8]; the face
-        probability is the last-A channel slice of the score map
+        """Run the reference's RetinaFace ONNX graph exactly.
+
+        The file is a TF-converted export consuming **NHWC** RGB raw
+        pixels — preprocess.py:134-142 builds a (1, H, W, 3) tensor
+        with channels reversed and never transposes (its comment says
+        "(N,H,W,C) to (N,C,H,W)" but the code does not) — and emits 9
+        NHWC head maps in the export's permuted order
+        (retinaface_face_detector.py:108), consumed NHWC at
+        :119-127.  Per-stride output triplets are (scores, bbox,
+        landmarks) for strides [32, 16, 8]; the face probability is the
+        last-A channel slice of the score map
         (retinaface_face_detector.py:116-117)."""
         from fire_tpu.models.onnx_exec import make_onnx_fn
         from fire_tpu.models.onnx_import import read_onnx
@@ -349,7 +354,7 @@ class DeviceEngine:
         n_anchors = 2
 
         def det_fn(v, x_rgb255_nhwc):
-            outs = fn(v, jnp.transpose(x_rgb255_nhwc, (0, 3, 1, 2)))
+            outs = fn(v, x_rgb255_nhwc)  # NHWC straight through
             outs = [outs[i] for i in perm]
             heads = {}
             for level, stride in enumerate((32, 16, 8)):

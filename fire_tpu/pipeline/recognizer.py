@@ -811,7 +811,10 @@ class FaceRecognition:
             # compute overlapped with the host work since submit)
             self.timer.add("device step (detect+encode+match+track)",
                            time.time() - t0)
-            self.counters["faces_detected"] += int(res.mask.sum())
+            # count only the real frames of a (possibly padded) tail
+            # batch; in the batched path the closest observable to the
+            # per-frame path's len(detected) is confirmed tracks/frame
+            self.counters["faces_detected"] += int(res.mask[: len(frames)].sum())
             for frame, faces in zip(frames, stream_results(self, res, rename_label=name)):
                 self.timer.tick_frame()
                 annotated = (

@@ -113,17 +113,24 @@ def test_extract_variant_shared_for_yunet(tmp_path):
 
 
 def test_retinaface_onnx_executor_fallback(tmp_path):
-    """The reference retinaface.onnx contract: NCHW input, 9 outputs in
-    the export's permuted order (retinaface_face_detector.py:108) with
-    NHWC (scores, bbox, lmk) triplets per stride [32,16,8] and face
+    """The reference retinaface.onnx contract: **NHWC** RGB raw-pixel
+    input — preprocess.py:134-142 builds (1, H, W, 3) and never
+    transposes despite its comment — and 9 outputs in the export's
+    permuted order (retinaface_face_detector.py:108) with NHWC
+    (scores, bbox, lmk) triplets per stride [32,16,8] and face
     probability in the last-A score channels.  A fixture graph with
     that exact I/O contract must load via the executor and produce the
-    planted detection through the full jitted detect path."""
+    planted detection through the full jitted detect path; a
+    layout-guard Add against an input-shaped constant makes a wrongly
+    transposed feed fail loudly instead of silently."""
     from fire_tpu.models.onnx_export import GraphBuilder
 
     hw = 64
     gb = GraphBuilder("retinaface_fixture")
-    gb.add_input("data", (1, 3, hw, hw))
+    gb.add_input("data", (1, hw, hw, 3))
+    # layout guard: broadcasting fails if the engine feeds NCHW
+    zname = gb.add_init("layout_guard", np.zeros((1, hw, hw, 3), np.float32))
+    gb.add_node("Add", ["data", zname], ["consumed"])
 
     # permuted slots: applying [7,1,4,8,0,3,6,2,5] must yield
     # [sc32,bb32,lm32,sc16,bb16,lm16,sc8,bb8,lm8]

@@ -296,3 +296,58 @@ def test_gallery_corrupt_journal_recovers_fresh(tmp_path, rng):
         f.write(b"\x40\x00\x00\x00garbage")  # claims 64 bytes, has 7
     g2 = DeviceGallery(16, *paths, capacity=100)
     assert g2.count == 0
+
+
+def test_journal_replay_idempotent_after_crash_window(tmp_path, rng):
+    """A crash between the compaction's snapshot write and journal
+    removal leaves rows in BOTH files; indexed journal records must be
+    skipped on load, not duplicated."""
+    import os
+
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    for i in range(3):
+        g.add(_emb(rng, 16), f"p{i}", i)
+    g.save()  # snapshot(3)
+    for i in range(3, 6):
+        g.add(_emb(rng, 16), f"p{i}", i)
+    g.save()  # journal rows 3..6
+    journal = open(paths[0] + ".journal", "rb").read()
+
+    g.save(compact=True)  # snapshot(6), journal removed
+    # simulate the crash window: journal still on disk after snapshot
+    open(paths[0] + ".journal", "wb").write(journal)
+
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.count == 6  # not 9
+    assert g2.labels == [f"p{i}" for i in range(6)]
+    # and the resurrected journal rows match the snapshot contents
+    ids, dists = g2.query(np.asarray(g._gal[4]), k=1)
+    assert int(ids[0][0]) == 4 and float(dists[0][0]) < 1e-2  # bf16 matmul
+
+
+def test_recovery_save_replaces_stale_files(tmp_path, rng):
+    """After a corrupt-index recovery + rebuild-from-SQLite, the next
+    save must write a fresh snapshot and drop the stale journal —
+    otherwise every startup re-fails the load and appends the rebuilt
+    rows to a journal that never shrinks."""
+    import os
+
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    for i in range(4):
+        g.add(_emb(rng, 16), f"p{i}", i)
+    g.save()
+    g.add(_emb(rng, 16), "p4", 4)
+    g.save()  # journal exists
+    open(paths[0], "wb").write(b"not an npy file")  # corrupt snapshot
+
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.count == 0  # recovery: fresh gallery
+    rows = [(i, f"p{i}", _emb(rng, 16).tobytes()) for i in range(4)]
+    g2.load_rows(rows)  # the SQLite rebuild path
+    g2.save()
+    assert not os.path.exists(paths[0] + ".journal")  # compacted
+
+    g3 = DeviceGallery(16, *paths, capacity=100)  # loads cleanly now
+    assert g3.count == 4 and g3.labels == [f"p{i}" for i in range(4)]
