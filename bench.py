@@ -72,16 +72,22 @@ def main() -> None:
         tracker_cfg=TrackerConfig(assignment="hungarian"),
     )
 
-    # 100k-identity gallery (the reference's hard cap,
+    # ~100k-identity gallery (the reference's hard cap,
     # modules/hnsw_manager.py:29) so every match is a full-scale search.
+    # 100 rows of headroom are left under the cap so the bench's churn
+    # enrollments REALLY persist (SQLite insert + journal append) —
+    # persistence is ON in the headline since round 3 (VERDICT r2 #9);
+    # the journal-incremental save costs ~2 KB/enrollment, not a 200 MB
+    # snapshot rewrite.
     rng = np.random.default_rng(0)
-    gal = rng.standard_normal((100_000, 512)).astype(np.float32)
+    gal = rng.standard_normal((99_900, 512)).astype(np.float32)
     gal /= np.linalg.norm(gal, axis=1, keepdims=True)
     fr.gallery.load_rows(
         (i + 1, f"person_{i}", gal[i].tobytes()) for i in range(gal.shape[0])
     )
-    fr.gallery.save = lambda: None  # persistence timed separately; see README
-    fr.db_manager.add = lambda label, emb: -1  # keep the bench I/O-free
+    # one-time compacted snapshot (untimed setup): trials then pay only
+    # the incremental journal appends, as a long-running deployment would
+    fr.gallery.save(compact=True)
 
     # synthetic 1080p frames (decode cost is not the metric; the
     # reference reads webcam/video frames outside its FPS loop stages)
@@ -197,6 +203,7 @@ def main() -> None:
                 "unit": "fps",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "frameskip_fps": round(max(skip_fps), 2),
+                "persistence": "on (SQLite + journal-incremental gallery saves in the timed loop)",
                 "e2e_process_video_fps": round(e2e_fps, 2),
                 "e2e_note": "full decode->H2D->compute->annotate->write; "
                             "dev-tunnel H2D ~45MB/s dominates (platform artifact)",

@@ -112,6 +112,12 @@ class EngineConfig:
     # Dtype for conv/matmul compute; params master in f32.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Letterbox resampling runs in bf16 straight from uint8 by default
+    # (half the HBM traffic; ≤0.4% intensity quantization — docs/DESIGN.md).
+    # Set True to restore the reference's f32 preprocessing numerics for
+    # strict parity runs (a borderline detection whose score sits exactly
+    # at the confidence threshold can flip between the two).
+    strict_f32_preprocess: bool = False
 
     @property
     def cdtype(self):

@@ -156,8 +156,7 @@ class DeviceGallery:
     def _read_journal(self):
         """Yield (abs_row_index, label, db_id, vec) from the sidecar
         journal.  Raises on any malformed record (caller treats as
-        corrupt).  ``abs_row_index`` is -1 for legacy records written
-        without one."""
+        corrupt and rebuilds from SQLite)."""
         path = self._journal_path
         if not path or not os.path.exists(path):
             return
@@ -176,16 +175,18 @@ class DeviceGallery:
             if self.encryptor:
                 payload = self.encryptor.decrypt_data(payload)
             rec = pickle.loads(payload)
-            if isinstance(rec, dict):  # current format: indexed record
-                start = int(rec["start"])
-                rows = rec["rows"]
-            else:  # legacy record: bare row list, no index
-                start, rows = -1, rec
-            for i, (label, db_id, blob) in enumerate(rows):
+            if not isinstance(rec, dict):
+                # only indexed records are ever written; anything else
+                # is corruption → rebuild from SQLite (index-less rows
+                # would not be idempotent across the compaction crash
+                # window)
+                raise ValueError("journal record without row index")
+            start = int(rec["start"])
+            for i, (label, db_id, blob) in enumerate(rec["rows"]):
                 vec = np.frombuffer(blob, np.float32)
                 if vec.shape[0] != self.embedding_dim:
                     raise ValueError("journal row dim mismatch")
-                yield (start + i if start >= 0 else -1), label, int(db_id), vec
+                yield start + i, label, int(db_id), vec
 
     def _append_journal(self, rows, start_row: int) -> None:
         """Append one length-prefixed record holding ``rows`` =
@@ -225,9 +226,9 @@ class DeviceGallery:
             # journal removal would otherwise duplicate them)
             n_journal = 0
             for abs_idx, label, db_id, vec in self._read_journal():
-                if abs_idx >= 0 and abs_idx < self._snapshot_rows:
+                if abs_idx < self._snapshot_rows:
                     continue  # already compacted into the snapshot
-                if abs_idx >= 0 and abs_idx != self.count:
+                if abs_idx != self.count:
                     raise ValueError(
                         f"journal discontinuity: row {abs_idx} vs count {self.count}"
                     )
@@ -404,15 +405,19 @@ class DeviceGallery:
         self._labels_dirty = True  # snapshot rows changed → compact
         self.save()
 
-    def unify_labels(self, gids: List[int], new_label: str, store) -> None:
+    def unify_labels(self, gids: List[int], new_label: str, store,
+                     save: bool = True) -> None:
         """Rename a whole similar group in DB + memory
-        (hnsw_manager.py:209-225)."""
+        (hnsw_manager.py:209-225).  ``save=False`` defers the snapshot
+        compaction so a caller doing many unifications (shrink_db_ids)
+        pays one rewrite at the end instead of one per group."""
         store.update_labels([self.db_ids[g] for g in gids], new_label)
         for g in gids:
             self.labels[g] = new_label
         self._labels_dirty = True  # snapshot rows changed → compact
         log.info("Unified %d embeddings under label '%s'.", len(gids), new_label)
-        self.save()
+        if save:
+            self.save()
 
     def update_label(self, gid: int, new_label: str, store, similarity_threshold: float = 0.7) -> None:
         """Group relabel with conflict refusal (hnsw_manager.py:151-199):
@@ -503,6 +508,18 @@ class ShardedGalleryView:
             )
             self._gal_sharded = update_sharded_rows(self._gal_sharded, block, bs)
         self._synced = count
+
+    def query(self, embedding: np.ndarray, k: int = 1):
+        """Single-query convenience (DeviceGallery.query contract)."""
+        return self.query_batch(np.asarray(embedding, np.float32).reshape(1, -1), k)
+
+    @property
+    def count(self) -> int:
+        return self.gallery.count
+
+    @property
+    def labels(self):
+        return self.gallery.labels
 
     def query_batch(self, embeddings: np.ndarray, k: int = 1):
         """Same contract as DeviceGallery.query_batch, sharded."""

@@ -54,7 +54,11 @@ log = logging.getLogger(__name__)
 def _materialize(shape_tree, seed: int):
     """Build variable arrays from an eval_shape'd tree: lecun-normal
     kernels, zero biases/means, unit scales/vars — deterministic per
-    parameter path so weights are reproducible across sessions."""
+    parameter path so weights are reproducible across sessions AND
+    across processes (zlib.crc32, not str hash(), which PYTHONHASHSEED
+    salts per interpreter)."""
+    import zlib
+
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     out = {}
@@ -65,9 +69,8 @@ def _materialize(shape_tree, seed: int):
             name = path[-1]
             shape = tuple(leaf.shape)
             dtype = np.dtype(leaf.dtype)
-            rng = np.random.default_rng(
-                (seed * 1_000_003 + hash((col,) + path)) % (2**63)
-            )
+            digest = zlib.crc32("/".join((col,) + path).encode())
+            rng = np.random.default_rng((seed * 1_000_003 + digest) % (2**63))
             if name in ("var", "scale"):
                 arr = np.ones(shape, dtype)
             elif name in ("mean", "bias"):
@@ -195,6 +198,26 @@ class DeviceEngine:
         self.enc_vars = jax.tree.map(jnp.asarray, restored)
         self._enc_fn = lambda v, x: self.encoder.apply(v, x)
         log.info("Loaded trained encoder variables from %s.", path)
+
+    def load_trained_detector(self, path: str) -> None:
+        """Load detector variables produced by
+        ``python -m fire_tpu.train.detect`` — the detector half of the
+        train→deploy loop (the reference ships frozen weights behind
+        opaque C++ only, yunet.py:20-28).  Resets the forward to the
+        Flax graph and drops compiled detect graphs so the next call
+        re-traces with the trained weights."""
+        from flax import serialization
+
+        det_in = jnp.zeros((1, *self._detect_input, 3), jnp.float32)
+        template = _materialize(
+            jax.eval_shape(self.detector.init, jax.random.PRNGKey(0), det_in), 0
+        )
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(template, f.read())
+        self.det_vars = jax.tree.map(jnp.asarray, restored)
+        self._det_fn = lambda v, x: self.detector.apply(v, x)
+        self._detect_jit_cache.clear()
+        log.info("Loaded trained detector variables from %s.", path)
 
     def load_onnx_weights(self, facenet_onnx: str) -> None:
         """Import reference FaceNet weights (facenet_gpu.py:99-106) when
@@ -447,13 +470,19 @@ class DeviceEngine:
             else cfg.blazeface_conf_threshold
         )
 
+        resample_dtype = (
+            jnp.float32 if cfg.engine.strict_f32_preprocess else jnp.bfloat16
+        )
+
         def run(det_vars, frame_u8):
             # Resample in bf16 straight from uint8: measured 12.6 ms vs
             # 35.5 ms for a full-res f32 cast first (B=128 @1080p on
             # v5e) — half the HBM traffic and native-rate vector math.
             # Quantization is ≤0.4% of intensity, far below sensor
-            # noise, and the detector CNNs are bf16 anyway.
-            canvas, scale = letterbox(frame_u8.astype(jnp.bfloat16), det_hw)
+            # noise, and the detector CNNs are bf16 anyway.  The
+            # strict_f32_preprocess config flag restores reference-parity
+            # f32 numerics (EngineConfig).
+            canvas, scale = letterbox(frame_u8.astype(resample_dtype), det_hw)
             x = canvas[None].astype(jnp.float32) / 255.0
             if isinstance(detector, BlazeFace):
                 x = bgr_to_rgb(x)

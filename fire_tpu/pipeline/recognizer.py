@@ -98,6 +98,8 @@ class FaceRecognition:
         tracker_cfg: Optional[TrackerConfig] = None,
         weights_dir: Optional[str] = "weights",
         trained_encoder: Optional[str] = None,
+        trained_detector: Optional[str] = None,
+        sharded_gallery: Optional[bool] = None,
     ):
         encoder_model_type = encoder_model_type or "128"
         self.cfg = RecognizerConfig(
@@ -170,6 +172,9 @@ class FaceRecognition:
             # train→deploy loop the reference lacks (it ships frozen
             # ONNX weights only, facenet_gpu.py:99-114)
             self.engine.load_trained_encoder(trained_encoder)
+        if trained_detector:
+            # detector variables from `python -m fire_tpu.train.detect`
+            self.engine.load_trained_detector(trained_detector)
         self.detect_faces = self.engine.detect_faces
         self.extract_faces = self.engine.extract_faces
 
@@ -190,6 +195,33 @@ class FaceRecognition:
             self.gallery.load_rows(self.db_manager.load_all())
             self.gallery.save()
 
+        # multi-chip gallery adoption (SURVEY.md §2.4(d)): with more
+        # than one device, identity queries route through a row-sharded
+        # view (local MXU top-k per shard + ICI all-gather of candidate
+        # sets); mutations stay on the host-side DeviceGallery, and the
+        # view re-syncs incrementally.  ``sharded_gallery=None`` =
+        # auto-adopt on real multi-chip hardware; pass True to force it
+        # (e.g. on the virtual CPU mesh in tests).
+        self.mesh = None
+        self._matcher = self.gallery
+        use_sharded = sharded_gallery
+        if use_sharded is None:
+            import jax
+
+            use_sharded = len(jax.devices()) > 1 and jax.default_backend() != "cpu"
+        if use_sharded:
+            import jax
+
+            from fire_tpu.gallery.index import ShardedGalleryView
+            from fire_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            self._matcher = ShardedGalleryView(self.gallery, self.mesh)
+            log.info(
+                "Sharded gallery view active over %d device(s).",
+                len(jax.devices()),
+            )
+
         # caches + buffers (face_recognition.py:157-172)
         self.recent_embeddings = np.empty((0, self.embedding_dim), np.float32)
         self.recent_labels: List[str] = []
@@ -199,6 +231,13 @@ class FaceRecognition:
         self.max_new = max_new
         self.unknown_faces: dict = {}
         self.track_id_to_label: dict = {}
+        # host-side window of recent enrollments: covers gallery rows
+        # added after the batched step's device snapshot (see
+        # enroll_unknown_now).  EVERY enrollment path feeds it via
+        # _enroll_now — per-frame unknowns, batched enrollments, image
+        # mode — so mixing paths in one session cannot slip a duplicate
+        # identity past the device-checked dedup.
+        self._recent_enrollments: list = []
 
         self.face_tracker = Sort(tracker_cfg or TrackerConfig())
         self.timer = StageTimer()
@@ -248,7 +287,7 @@ class FaceRecognition:
                     log.error("Received zero vector from encoder. Skipping this face.")
                     continue
                 if self.gallery.count > 0:
-                    ids, dists = self.gallery.query(emb, k=1)
+                    ids, dists = self._matcher.query(emb, k=1)
                     if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
                         log.info(
                             "Face is too similar to an existing face (Label: %s). Not adding.",
@@ -284,16 +323,47 @@ class FaceRecognition:
 
     def shrink_db_ids(self, similarity_threshold: float = 0.75) -> None:
         """Unify similar groups unless known labels conflict
-        (face_recognition.py:265-315)."""
+        (face_recognition.py:265-315).
+
+        The reference loops one hnswlib query per gallery id — fine at
+        microsecond query latency.  On the tunnelled TPU every query is
+        a host-synced readback, so all N neighbour sets are computed
+        up-front in ONE batched device pass (a handful of MXU matmuls;
+        at the 100k cap this turns hours of round-trips into seconds).
+        Group semantics are identical: neighbour sets depend only on
+        the stored vectors (one SQLite read, renormalized — the
+        reference's _get_embedding_from_db_id contract,
+        hnsw_manager.py:246-262), while the conflict check reads labels
+        lazily at visit time, exactly like the sequential loop.
+        """
+        n = len(self.gallery.labels)
+        if n == 0:
+            log.info("DB ID shrinking completed with 0 unification operations.")
+            return
+        by_id = {}
+        for db_id, _, blob in self.db_manager.load_all():
+            emb = np.frombuffer(blob, np.float32)
+            norm = np.linalg.norm(emb)
+            if emb.shape[0] == self.embedding_dim and norm > 0:
+                by_id[int(db_id)] = emb / norm
+        embs = np.zeros((n, self.embedding_dim), np.float32)
+        have = np.zeros(n, bool)
+        for gid in range(n):
+            vec = by_id.get(int(self.gallery.db_ids[gid]))
+            if vec is not None:
+                embs[gid] = vec
+                have[gid] = True
+        k = min(self.cfg.gallery.group_k, n)
+        ids, dists = self._matcher.query_batch(embs, k=k)
         processed = set()
         total = 0
-        for gid in range(len(self.gallery.labels)):
-            if gid in processed:
+        for gid in range(n):
+            if gid in processed or not have[gid]:
                 continue
-            emb = self.db_manager.get_embedding(self.gallery.db_ids[gid])
-            if emb is None:
-                continue
-            similar = self.gallery.find_similar(emb, similarity_threshold, k=50)
+            similar = [
+                int(i) for i, d in zip(ids[gid], dists[gid])
+                if 1.0 - d >= similarity_threshold
+            ]
             if len(similar) <= 1:
                 processed.add(gid)
                 continue
@@ -303,9 +373,11 @@ class FaceRecognition:
                 processed.update(similar)
                 continue
             final = known[0] if known else self.gallery.labels[gid]
-            self.gallery.unify_labels(similar, final, self.db_manager)
+            self.gallery.unify_labels(similar, final, self.db_manager, save=False)
             total += 1
             processed.update(similar)
+        if total:
+            self.gallery.save()  # one compaction for the whole pass
         log.info("DB ID shrinking completed with %d unification operations.", total)
 
     # ------------------------------------------------------------ unknowns --
@@ -317,8 +389,16 @@ class FaceRecognition:
     def _enroll_now(self, label: str, emb: np.ndarray) -> None:
         if self.gallery.count < self.gallery.capacity:
             db_id = self.db_manager.add(label, emb)
-            if db_id != -1:
-                self.gallery.add(emb, label, db_id)
+            if db_id != -1 and self.gallery.add(emb, label, db_id):
+                # mirror the gallery row (normalized) into the recent-
+                # enrollment window so the batched path's device-checked
+                # dedup sees rows enrolled through ANY path
+                vec = np.asarray(emb, np.float32).reshape(-1)
+                n = np.linalg.norm(vec)
+                self._recent_enrollments.append(
+                    (vec / n if n > 0 else vec, self.gallery.count - 1)
+                )
+                del self._recent_enrollments[:-64]
         else:
             log.warning("Gallery has reached its maximum capacity. Cannot add more embeddings.")
 
@@ -344,7 +424,7 @@ class FaceRecognition:
 
         avg = np.mean(entry["embeddings"], axis=0)
         if self.gallery.count > 0:
-            ids, dists = self.gallery.query(avg, k=1)
+            ids, dists = self._matcher.query(avg, k=1)
             if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
                 gid = int(ids[0][0])
                 existing = (
@@ -376,40 +456,29 @@ class FaceRecognition:
         threshold — otherwise the track takes the identity), so the
         per-enrollment device query (a ~50 ms stall on the tunnelled
         platform, face_recognition.py:342-352 semantics) is skipped.
-        Rows enrolled AFTER the snapshot — same batch, or a previous
-        batch still in flight under submit/collect pipelining — are
-        covered by a host-side window of recent enrollments; its size
-        (64) dominates the pipelining bound of 2·MAX_ENROLL=16
+        Rows enrolled AFTER the snapshot — same batch, a previous batch
+        still in flight under submit/collect pipelining, or any
+        per-frame/image-mode enrollment interleaved with the batched
+        path — are covered by the host-side ``_recent_enrollments``
+        window, which _enroll_now feeds on every successful add; its
+        size (64) dominates the pipelining bound of 2·MAX_ENROLL=16
         post-snapshot rows.
         """
-        window = getattr(self, "_recent_enrollments", None)
-        if window is None:
-            window = self._recent_enrollments = []
-
-        def _record(pre_count: int) -> None:
-            if self.gallery.count > pre_count:  # add not refused at capacity
-                window.append((np.asarray(emb, np.float32), self.gallery.count - 1))
-                del window[:-64]
-
         if rename_label:
-            pre = self.gallery.count
             self._enroll_now(rename_label, emb)
-            _record(pre)
             self.gallery.save()
             return rename_label
         if device_checked:
             # only the post-snapshot rows need checking
-            for vec, gid in window:
+            for vec, gid in self._recent_enrollments:
                 if float(vec @ emb) > self.similarity_threshold and gid < self.gallery.count:
                     return self.gallery.labels[gid]
         elif self.gallery.count > 0:
-            ids, dists = self.gallery.query(emb, k=1)
+            ids, dists = self._matcher.query(emb, k=1)
             if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
                 return self.gallery.labels[int(ids[0][0])]
         label = self._generate_unique_label()
-        pre = self.gallery.count
         self._enroll_now(label, emb)
-        _record(pre)
         self.gallery.save()
         return label
 
@@ -472,7 +541,7 @@ class FaceRecognition:
             # one batched gallery query for the same faces
             gal_ids, gal_dists = (None, None)
             if self.gallery.count > 0:
-                gal_ids, gal_dists = self.gallery.query_batch(batch, k=1)
+                gal_ids, gal_dists = self._matcher.query_batch(batch, k=1)
             for i, (tid, _) in enumerate(to_encode):
                 embs[tid] = (
                     batch[i],
@@ -489,6 +558,13 @@ class FaceRecognition:
                 self.counters["tier1_track_cache"] += 1
             elif tid in embs:
                 emb, gal_gid, gal_sim = embs[tid]
+                if emb.shape[0] != self.embedding_dim:
+                    # face_recognition.py:436-439
+                    log.error(
+                        "Invalid embedding size: expected %d, got %d",
+                        self.embedding_dim, emb.shape[0],
+                    )
+                    continue
                 if np.linalg.norm(emb) == 0:
                     log.error("Received zero vector from encoder. Skipping this face.")
                     continue
@@ -577,13 +653,19 @@ class FaceRecognition:
                         continue
                     matched = False
                     if self.gallery.count > 0:
-                        ids, dists = self.gallery.query(emb, k=1)
+                        ids, dists = self._matcher.query(emb, k=1)
                         if ids is not None and 1.0 - dists[0][0] > self.similarity_threshold:
                             gid = int(ids[0][0])
                             self.update_label(gid, label)
                             log.info("Updated label for gallery id %d to '%s'.", gid, label)
                             matched = True
                     if not matched:
+                        # parity verified against the reference: its
+                        # image-mode label path also only warns on
+                        # no-match — it never enrolls under the given
+                        # label (face_recognition.py:564-565; the
+                        # add-new-face branch exists only in the
+                        # label-less recognition path, :640-661)
                         log.warning("No matching face found to update with the provided label.")
                 self._save_image(image, save_path)
                 timer.print_image_report()
@@ -594,7 +676,7 @@ class FaceRecognition:
             new_embs, new_labels = [], []
             t0 = time.time()
             if self.gallery.count > 0 and len(embs):
-                ids, dists = self.gallery.query_batch(embs, k=1)
+                ids, dists = self._matcher.query_batch(embs, k=1)
             else:
                 ids = dists = None
             for i, face in enumerate(valid):
@@ -769,11 +851,20 @@ class FaceRecognition:
         (:795-800), duration cap, rename label."""
         from fire_tpu.pipeline.batch_engine import BatchStreamEngine, stream_results
 
-        interval = (
-            self.detection_interval
-            if batch_size % max(self.detection_interval, 1) == 0
-            else 1
-        )
+        # the device step runs the detector on every interval-th frame
+        # of a batch, so the batch must be a multiple of the interval —
+        # round the batch UP rather than silently detecting every frame
+        # (which would cost the user the full detector price they asked
+        # frame-skip to avoid)
+        interval = max(self.detection_interval, 1)
+        if batch_size % interval != 0:
+            rounded = ((batch_size + interval - 1) // interval) * interval
+            log.warning(
+                "batch_size %d is not a multiple of detection_interval %d; "
+                "rounding batch up to %d to preserve frame-skip semantics.",
+                batch_size, interval, rounded,
+            )
+            batch_size = rounded
         bse = BatchStreamEngine(
             self.engine, self.gallery, self.cfg, detection_interval=interval
         )
@@ -875,6 +966,169 @@ class FaceRecognition:
                     log.info("Annotated video saved to %s", save_path)
             if self.show:
                 cv2.destroyAllWindows()
+
+    def process_videos(
+        self,
+        video_paths: List[str],
+        annotate: bool = True,
+        save_path: Optional[str] = None,
+        batch_size: int = 8,
+        duration: int = 0,
+        name: Optional[str] = None,
+    ) -> None:
+        """Multi-stream data-parallel video processing — the product
+        surface for SURVEY.md §2.4(e) (the reference has no parallelism
+        at all; this is the multi-chip scale-out path).
+
+        Each video becomes one stream, sharded one-per-device over a
+        ``dp`` mesh (fire_tpu.parallel.multistream.MultiStreamEngine);
+        every device runs the exact single-stream batched step with its
+        own tracker state, against a shared replicated gallery, so an
+        identity enrolled from one stream is recognized in the others.
+        With fewer streams than devices the remainder run blank pad
+        streams (outputs dropped).  With ``--save``, stream i writes
+        ``<stem>_stream<i><ext>``.
+
+        All inputs must share one resolution (one compiled step serves
+        every stream; mixed resolutions would need one jit per shape).
+        """
+        import jax
+
+        from fire_tpu.parallel.mesh import make_mesh
+        from fire_tpu.parallel.multistream import MultiStreamEngine
+        from fire_tpu.pipeline.batch_engine import stream_results
+
+        caps = []
+        try:
+            wh = None
+            for p in video_paths:
+                cap = cv2.VideoCapture(p)
+                if not cap.isOpened():
+                    log.error("Cannot open video file: %s", p)
+                    return
+                cwh = (
+                    int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                    int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                )
+                if wh is None:
+                    wh = cwh
+                elif cwh != wh:
+                    log.error(
+                        "All streams must share one resolution: %s is %s, expected %s.",
+                        p, cwh, wh,
+                    )
+                    return
+                caps.append(cap)
+
+            mesh = self.mesh or make_mesh()
+            n_streams = mesh.shape["dp"]
+            if len(caps) > n_streams:
+                log.error(
+                    "%d streams exceed the %d-device dp mesh; run in groups of %d.",
+                    len(caps), n_streams, n_streams,
+                )
+                return
+
+            interval = max(self.detection_interval, 1)
+            if batch_size % interval != 0:
+                rounded = ((batch_size + interval - 1) // interval) * interval
+                log.warning(
+                    "batch_size %d rounded up to %d (multiple of detection_interval %d).",
+                    batch_size, rounded, interval,
+                )
+                batch_size = rounded
+
+            mse = MultiStreamEngine(
+                self.engine, self.gallery, self.cfg, mesh,
+                detection_interval=interval,
+            )
+            n_real = len(caps)
+            writers = [None] * n_real
+            fps = caps[0].get(cv2.CAP_PROP_FPS) or 30
+            if fps == 0:
+                fps = 30
+            if save_path:
+                stem, ext = os.path.splitext(save_path)
+                fourcc = cv2.VideoWriter_fourcc(*"XVID")
+                for i in range(n_real):
+                    out_p = f"{stem}_stream{i}{ext or '.avi'}"
+                    _ensure_parent_dir(out_p)
+                    writers[i] = cv2.VideoWriter(out_p, fourcc, fps, wh)
+
+            self.timer = StageTimer()
+            self.timer.start()
+            readers = [PrefetchReader(c) for c in caps]
+            iters = [r.frames() for r in readers]
+            done = [False] * n_real
+            blank = np.zeros((wh[1], wh[0], 3), np.uint8)
+
+            def next_batches():
+                """(S, B, H, W, 3) batch + per-stream real-frame lists."""
+                per_stream = []
+                for i in range(n_real):
+                    frames = []
+                    while len(frames) < batch_size and not done[i]:
+                        f = next(iters[i], None)
+                        if f is None:
+                            done[i] = True
+                        else:
+                            frames.append(f)
+                    per_stream.append(frames)
+                if all(len(f) == 0 for f in per_stream):
+                    return None, None
+                stacked = np.empty(
+                    (n_streams, batch_size, wh[1], wh[0], 3), np.uint8
+                )
+                for i in range(n_streams):
+                    frames = per_stream[i] if i < n_real else []
+                    pad = frames[-1] if frames else blank
+                    for b in range(batch_size):
+                        stacked[i, b] = frames[b] if b < len(frames) else pad
+                return stacked, per_stream
+
+            def emit(token, per_stream) -> bool:
+                t0 = time.time()
+                results = mse.collect(token)
+                self.timer.add("device step (S streams)", time.time() - t0)
+                for i in range(n_real):
+                    frames = per_stream[i]
+                    if not frames:
+                        continue
+                    for frame, faces in zip(
+                        frames, stream_results(self, results[i], rename_label=name)
+                    ):
+                        self.timer.tick_frame()
+                        annotated = (
+                            annotate_faces(frame, faces, with_confidence=True)
+                            if annotate else frame
+                        )
+                        if writers[i] is not None:
+                            writers[i].write(annotated)
+                if duration > 0 and (time.time() - self.timer.start_time) >= duration:
+                    log.info("Duration of %d seconds reached. Stopping.", duration)
+                    return False
+                return True
+
+            inflight = None
+            while True:
+                stacked, per_stream = next_batches()
+                if stacked is None:
+                    break
+                token = mse.submit(stacked)
+                prev, inflight = inflight, (token, per_stream)
+                if prev is not None and not emit(*prev):
+                    inflight = None
+                    break
+            if inflight is not None:
+                emit(*inflight)
+        finally:
+            for r in locals().get("readers", []):
+                r.close()
+            for c in caps:
+                c.release()
+            for wtr in locals().get("writers", []):
+                if wtr is not None:
+                    wtr.release()
 
     def process_webcam(
         self, annotate: bool = True, save_path: Optional[str] = None,

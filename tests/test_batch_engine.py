@@ -148,6 +148,12 @@ def test_stream_results_host_semantics(bse, tmp_path):
         similarity_threshold = 0.7
         interested_label = None
 
+        def __init__(self):
+            # the borrowed FaceRecognition.enroll_unknown_now reads the
+            # recent-enrollment dedup window
+            self._recent_enrollments = []
+            self._matcher = gal
+
         def _generate_unique_label(self):
             import uuid
 
