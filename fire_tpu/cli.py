@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", type=str, default="image", choices=["image", "video", "webcam"],
                    help="Which pipeline to run: one still image, a video file, or a live webcam stream")
     p.add_argument("--input", type=str, default=None, help="Input image/video location on disk")
+    p.add_argument("--inputs", type=str, nargs="+", default=None,
+                   help="Video mode: multiple videos processed as data-parallel "
+                        "streams, one per device (multi-chip scale-out); all must "
+                        "share one resolution")
     p.add_argument("--save", type=str, default=None, help="Where to write the annotated result")
     p.add_argument("--label", type=str, default=None,
                    help="Identity name: enrolls/relabels the matched face in image mode, renames recognized faces in webcam mode")
@@ -68,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trained", type=str, default=None,
                    help="Encoder variables from `python -m fire_tpu.train` (msgpack); "
                         "overrides the encoder weights for this run")
+    p.add_argument("--trained_detector", type=str, default=None,
+                   help="Detector variables from `python -m fire_tpu.train.detect` "
+                        "(msgpack); overrides the detector weights for this run")
     return p
 
 
@@ -98,6 +105,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         interested_label=args.interested_label,
         weights_dir=args.weights_dir,
         trained_encoder=args.trained,
+        trained_detector=args.trained_detector,
     )
 
     if args.core:
@@ -113,7 +121,13 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 save_path=args.save, label=args.label,
             )
     elif args.mode == "video":
-        if args.input is None:
+        if args.inputs:
+            face_recog.process_videos(
+                video_paths=args.inputs, annotate=args.annotate,
+                save_path=args.save,
+                batch_size=args.batch_size or 8, name=args.label,
+            )
+        elif args.input is None:
             logging.error("Please provide the path to the input video using --input")
         else:
             face_recog.process_video(

@@ -271,9 +271,13 @@ class BatchStreamEngine:
             # frame-skip semantics, face_recognition.py:376-393)
             det_frames = frames_u8[::interval] if interval > 1 else frames_u8
             dets = jax.vmap(lambda f: detector_fn(det_vars, f))(det_frames)
-            # keep top-k_enc detections per frame for encoding/tracking
+            # keep top-k detections per frame for encoding/tracking
+            # (clamped to the detector's padded slot count — a backend
+            # emitting fewer than k_enc slots must not misfold the
+            # encoder output batch)
+            k = min(k_enc, dets.mask.shape[1])
             order = jnp.argsort(-jnp.where(dets.mask, dets.scores, -1.0), axis=1)
-            pick = order[:, :k_enc]                               # (n_det, K)
+            pick = order[:, :k]                                   # (n_det, K)
             boxes = jnp.take_along_axis(dets.boxes_xywh, pick[..., None], axis=1)
             mask = jnp.take_along_axis(dets.mask, pick, axis=1)
 
@@ -286,16 +290,16 @@ class BatchStreamEngine:
             flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
             enc_fn = getattr(eng, "_enc_fn", None) or eng.encoder.apply
             emb = enc_fn(enc_vars, flat)
-            emb = l2_normalize(emb).reshape(n_det, k_enc, -1)
+            emb = l2_normalize(emb).reshape(n_det, k, -1)
             emb = emb * mask[..., None]
 
             # ---- match all embeddings in one gallery pass
             from fire_tpu.ops.gallery_match import cosine_topk
 
             valid = jnp.arange(gal.shape[0]) < count
-            sims, idx = cosine_topk(emb.reshape(n_det * k_enc, -1), gal, valid, k=1)
-            det_gid = idx.reshape(n_det, k_enc)
-            det_sim = sims.reshape(n_det, k_enc)
+            sims, idx = cosine_topk(emb.reshape(n_det * k, -1), gal, valid, k=1)
+            det_gid = idx.reshape(n_det, k)
+            det_sim = sims.reshape(n_det, k)
 
             if interval > 1:
                 # scatter detections back to full-batch arrays: coast
