@@ -554,7 +554,18 @@ def main() -> None:
     pool = ScenePool(gen, size=args.pool, threads=args.gen_threads, seed=args.seed)
 
     model = YuNet(width=args.width, dtype=jnp.bfloat16)
-    variables = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, *hw, 3)))
+    # numpy-materialized init from eval_shape'd trees: the XLA init
+    # program costs minutes on this platform (same finding as
+    # DeviceEngine._init_params); fan-in numpy init is milliseconds and
+    # an equivalent starting point
+    from fire_tpu.pipeline.engine import _materialize
+
+    variables = _materialize(
+        jax.eval_shape(
+            model.init, jax.random.PRNGKey(args.seed), jnp.zeros((1, *hw, 3))
+        ),
+        seed=args.seed,
+    )
     optimizer = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.adamw(optax.cosine_decay_schedule(args.lr, args.steps, 0.05)),
