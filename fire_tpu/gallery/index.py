@@ -57,11 +57,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _set_row(gal: jnp.ndarray, idx, vec) -> jnp.ndarray:
-    """In-place (donated) row write — enrollments never reallocate the
-    full HBM matrix."""
-    return gal.at[idx].set(vec)
+@partial(jax.jit, donate_argnums=(0, 1))
+def _set_row(gal: jnp.ndarray, gal16: jnp.ndarray, idx, vec):
+    """In-place (donated) row write into the f32 master AND its bf16
+    matmul shadow — enrollments never reallocate the full HBM matrix."""
+    return gal.at[idx].set(vec), gal16.at[idx].set(vec.astype(jnp.bfloat16))
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -94,7 +94,11 @@ class DeviceGallery:
     ):
         self.embedding_dim = embedding_dim
         self.capacity = capacity
-        self.padded = _round_up(capacity, 128)
+        # large galleries pad to the Pallas kernel's preferred 2048-row
+        # tile (at the 100k cap: 102400 = 50 × 2048, vs the 256-row
+        # tiles the old 128-row padding forced); small test galleries
+        # keep the lane-width padding
+        self.padded = _round_up(capacity, 2048 if capacity >= 2048 else 128)
         self.index_path = index_path
         self.labels_path = labels_path
         self.db_ids_path = db_ids_path
@@ -104,6 +108,12 @@ class DeviceGallery:
         self.labels: List[str] = []
         self.db_ids: List[int] = []
         self._gal = jnp.zeros((self.padded, embedding_dim), jnp.float32)
+        # bf16 shadow of the matrix: every hot-path matmul (XLA and
+        # Pallas) computes in bf16 anyway, so keeping a resident bf16
+        # copy halves the per-query HBM read AND removes the per-call
+        # 200 MB f32->bf16 cast both paths were silently paying.  The
+        # f32 master stays authoritative for persistence.
+        self._gal16 = jnp.zeros((self.padded, embedding_dim), jnp.bfloat16)
         # incremental-persistence bookkeeping: rows covered by the
         # snapshot triplet / the sidecar journal on disk
         self._snapshot_rows = 0
@@ -125,6 +135,13 @@ class DeviceGallery:
 
     def get_current_count(self) -> int:  # hnswlib API parity
         return self.count
+
+    @property
+    def gal_matmul(self) -> jnp.ndarray:
+        """The bf16 matmul operand for hot-path engines (batched step,
+        multi-stream, sharded view) — same values the f32 path would
+        cast per call, at half the HBM traffic."""
+        return self._gal16
 
     # -- persistence -------------------------------------------------------
 
@@ -240,6 +257,7 @@ class DeviceGallery:
                 n_journal += 1
             self._journal_rows = n_journal
             self._gal = jnp.asarray(gal)
+            self._gal16 = self._gal.astype(jnp.bfloat16)
             log.info(
                 "Loaded gallery (%d identities: %d snapshot + %d journal) from disk.",
                 self.count, self._snapshot_rows, n_journal,
@@ -250,6 +268,7 @@ class DeviceGallery:
             log.error("Error loading gallery index: %s", e)
             self.labels, self.db_ids = [], []
             self._gal = jnp.zeros((self.padded, self.embedding_dim), jnp.float32)
+            self._gal16 = jnp.zeros((self.padded, self.embedding_dim), jnp.bfloat16)
             self._snapshot_rows = self._journal_rows = 0
             # the stale snapshot/journal files are still on disk; the
             # next save must replace them wholesale or every later
@@ -320,7 +339,9 @@ class DeviceGallery:
         n = np.linalg.norm(vec)
         if n > 0:
             vec = vec / n
-        self._gal = _set_row(self._gal, self.count, jax.device_put(vec))
+        self._gal, self._gal16 = _set_row(
+            self._gal, self._gal16, self.count, jax.device_put(vec)
+        )
         self.labels.append(label)
         self.db_ids.append(int(db_id))
         return True
@@ -352,6 +373,7 @@ class DeviceGallery:
         gal = np.array(self._gal)  # mutable copy (asarray view is read-only)
         gal[start : start + take] = np.stack(vecs[:take])
         self._gal = jnp.asarray(gal)
+        self._gal16 = self._gal.astype(jnp.bfloat16)
         self.labels.extend(labels[:take])
         self.db_ids.extend(db_ids[:take])
         log.info("Loaded %d embeddings into device gallery.", take)
@@ -376,9 +398,9 @@ class DeviceGallery:
         if k == 1 and _use_pallas():
             from fire_tpu.ops.pallas_topk import pallas_cosine_top1
 
-            sims, idx = pallas_cosine_top1(q, self._gal, self.count)
+            sims, idx = pallas_cosine_top1(q, self._gal16, self.count)
             return np.asarray(idx)[:, None], 1.0 - np.asarray(sims)[:, None]
-        sims, idx = _query(self._gal, q, self.count, min(k, self.count))
+        sims, idx = _query(self._gal16, q, self.count, min(k, self.count))
         return np.asarray(idx), 1.0 - np.asarray(sims)
 
     def find_similar(self, embedding: np.ndarray, threshold: float, k: int = 50) -> List[int]:
@@ -476,7 +498,7 @@ class ShardedGalleryView:
         """
         from fire_tpu.parallel.sharded_gallery import update_sharded_rows
 
-        gal = self.gallery._gal
+        gal = self.gallery.gal_matmul  # bf16 shadow: half the shard traffic
         n = self.mesh.shape[self.axis]
         pad = ((gal.shape[0] + n - 1) // n) * n
         count = self.gallery.count

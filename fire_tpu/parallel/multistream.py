@@ -91,7 +91,7 @@ class MultiStreamEngine:
         self.states, packed = fn(
             self.inner.engine.det_vars,
             self.inner.engine.enc_vars,
-            self.inner.gallery._gal,
+            getattr(self.inner.gallery, "gal_matmul", self.inner.gallery._gal),
             count,
             self.states,
             frames_dev,

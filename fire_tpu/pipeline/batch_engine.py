@@ -47,6 +47,16 @@ from fire_tpu.track.sort import TrackTable, make_table, sort_step
 log = logging.getLogger(__name__)
 
 
+def _use_pallas_instep() -> bool:
+    """Fused Pallas gallery top-1 inside the batched step — real TPU
+    backends only (CPU tests take the XLA path; Pallas would need
+    interpret mode there)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing
+        return False
+
+
 class StreamState(NamedTuple):
     """Device-resident tracker + identity state."""
 
@@ -293,11 +303,23 @@ class BatchStreamEngine:
             emb = l2_normalize(emb).reshape(n_det, k, -1)
             emb = emb * mask[..., None]
 
-            # ---- match all embeddings in one gallery pass
-            from fire_tpu.ops.gallery_match import cosine_topk
+            # ---- match all embeddings in one gallery pass.  On real
+            # TPU the fused Pallas top-1 runs in-step: with the
+            # resident bf16 gallery and 2048-row tiles it beats XLA's
+            # matmul+top_k by ~2x in compute at this scale (B=1024
+            # queries vs 100k rows: 31.2 vs 34.4 ms/call incl. the
+            # ~27 ms dispatch floor — bench_gallery.py, v5e).
+            flat_emb = emb.reshape(n_det * k, -1)
+            if _use_pallas_instep():
+                from fire_tpu.ops.pallas_topk import pallas_cosine_top1
 
-            valid = jnp.arange(gal.shape[0]) < count
-            sims, idx = cosine_topk(emb.reshape(n_det * k, -1), gal, valid, k=1)
+                sims, idx = pallas_cosine_top1(flat_emb, gal, count)
+            else:
+                from fire_tpu.ops.gallery_match import cosine_topk
+
+                valid = jnp.arange(gal.shape[0]) < count
+                sims, idx = cosine_topk(flat_emb, gal, valid, k=1)
+                sims, idx = sims[:, 0], idx[:, 0]
             det_gid = idx.reshape(n_det, k)
             det_sim = sims.reshape(n_det, k)
 
@@ -340,7 +362,7 @@ class BatchStreamEngine:
         self.state, packed = fn(
             self.engine.det_vars,
             self.engine.enc_vars,
-            self.gallery._gal,
+            getattr(self.gallery, "gal_matmul", self.gallery._gal),
             self.gallery.count,
             self.state,
             frames_dev,

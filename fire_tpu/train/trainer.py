@@ -35,11 +35,21 @@ class TrainState(NamedTuple):
 
 
 def init_state(
-    model, rng, num_classes: int, optimizer, image_hw=(160, 160)
+    model, rng, num_classes: int, optimizer, image_hw=(160, 160),
+    materialize: bool = True,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     kv, kw = jax.random.split(rng)
     x = jnp.zeros((2, *image_hw, 3), jnp.float32)
-    variables = model.init(kv, x)
+    if materialize:
+        # numpy fan-in init from eval_shape'd trees: the XLA init
+        # program for the full FaceNet-512 costs minutes on this
+        # platform (docs/DESIGN.md §4); numpy is milliseconds and an
+        # equivalent starting point
+        from fire_tpu.pipeline.engine import _materialize
+
+        variables = _materialize(jax.eval_shape(model.init, kv, x), seed=0)
+    else:
+        variables = model.init(kv, x)
     d = model.embed_dim
     classifier = jax.random.normal(kw, (d, num_classes), jnp.float32) * 0.01
     target = (variables["params"], classifier)
