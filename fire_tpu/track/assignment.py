@@ -118,7 +118,7 @@ def _lap_solve(c: jnp.ndarray, row_valid: jnp.ndarray):
                 masked = jnp.where(seen, inf, shortest)
                 j = jnp.argmin(masked).astype(jnp.int32)
                 minval = masked[j]
-                seen = seen.at[j].set(True)
+                seen = seen | (jnp.arange(seen.shape[0]) == j)
                 rj = row4col[j]
                 sink = jnp.where(rj < 0, j, jnp.int32(-1))
                 cur = jnp.where(rj < 0, cur, rj)
@@ -184,12 +184,10 @@ def _solve_with_fast_path(c: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray
     """
     r_cap, c_cap = c.shape
     jmin = jnp.argmin(c, axis=1).astype(jnp.int32)  # (R,)
-    counts = (
-        jnp.zeros((c_cap,), jnp.int32)
-        .at[jnp.where(row_valid, jmin, c_cap)]
-        .add(1, mode="drop")
-    )
-    conflict = jnp.any(counts > 1)
+    # one-hot column histogram instead of a scatter-add (TPU scatters
+    # serialize inside the tracker scan)
+    onehot = row_valid[:, None] & (jmin[:, None] == jnp.arange(c_cap)[None, :])
+    conflict = jnp.any(jnp.sum(onehot, axis=0) > 1)
     fast = jnp.where(row_valid, jmin, -1)
     return jax.lax.cond(
         conflict, lambda: _lap_solve(c, row_valid), lambda: fast
@@ -224,10 +222,11 @@ def lap_assign(
             & trk_mask[j]
             & (cost[jnp.arange(d), j] <= gate)
         )
-        return (
-            jnp.full((t,), -1, jnp.int32)
-            .at[jnp.where(ok, j, t)]
-            .set(jnp.arange(d, dtype=jnp.int32), mode="drop")
+        # invert det→track to track→det via a one-hot (no scatter; LAP
+        # columns are distinct among ok rows so argmax is the unique hit)
+        hit = ok[:, None] & (j[:, None] == jnp.arange(t)[None, :])  # (D, T)
+        return jnp.where(
+            jnp.any(hit, axis=0), jnp.argmax(hit, axis=0).astype(jnp.int32), -1
         )
     # more detection slots than tracks: solve transposed (rows = tracks)
     c = jnp.where(det_mask[None, :], cost.T, _PAD)
@@ -257,8 +256,11 @@ def greedy_assign(
         flat = jnp.argmin(c)
         di, ti = flat // t, flat % t
         ok = c[di, ti] < BIG / 2
-        match = jnp.where(ok, match.at[ti].set(di.astype(jnp.int32)), match)
-        c = jnp.where(ok, c.at[di, :].set(BIG).at[:, ti].set(BIG), c)
+        # masked selects, not scatters (TPU scatters serialize)
+        ti_hot = jnp.arange(t) == ti
+        di_hot = jnp.arange(d) == di
+        match = jnp.where(ok & ti_hot, di.astype(jnp.int32), match)
+        c = jnp.where(ok & (di_hot[:, None] | ti_hot[None, :]), BIG, c)
         return c, match
 
     _, match = jax.lax.fori_loop(0, max_pairs, body, (c, jnp.full((t,), -1, jnp.int32)))

@@ -34,7 +34,9 @@ import numpy as np
 
 from fire_tpu.config import TrackerConfig
 from fire_tpu.track import assignment as assign
-from fire_tpu.track.ukf import kf_predict, kf_update, tracker_f_matrix, tracker_h_matrix
+from fire_tpu.track.ukf import (
+    kf_predict, kf_update_tracker, tracker_f_matrix,
+)
 
 
 class TrackTable(NamedTuple):
@@ -154,13 +156,13 @@ def apply_assignment(
     """
     t_cap = table.x.shape[0]
     d_cap = det_boxes.shape[0]
-    h = tracker_h_matrix()
-    r = jnp.eye(4, dtype=jnp.float32) * cfg.r_diag
 
     matched = (match >= 0) & table.active
     safe_match = jnp.clip(match, 0, d_cap - 1)
     z = _bbox_to_z(det_boxes[safe_match], cfg)
-    xn, pn = jax.vmap(lambda x, p, z: kf_update(x, p, z, h, r))(table.x, table.p, z)
+    xn, pn = jax.vmap(
+        lambda x, p, z: kf_update_tracker(x, p, z, cfg.r_diag)
+    )(table.x, table.p, z)
     xn = _clamp_state(xn, cfg)
     x = jnp.where(matched[:, None], xn, table.x)
     p = jnp.where(matched[:, None, None], pn, table.p)
@@ -174,33 +176,39 @@ def apply_assignment(
     # pruned track can never be matched/emitted this frame).
     active = table.active & (tsu <= cfg.max_age)
 
-    # ---- spawn new tracks for unmatched detections
-    # (scatter-add is duplicate-safe: unmatched tracks all point at det 0)
-    det_matched = (
-        jnp.zeros((d_cap,), jnp.int32).at[safe_match].add(matched.astype(jnp.int32), mode="drop") > 0
+    # ---- spawn new tracks for unmatched detections.  Formulated as a
+    # one-hot (T, D) pairing matrix instead of nonzero + per-field
+    # scatters: TPU scatters serialize inside the lax.scan tracker and
+    # dominated the step (VERDICT r2 next #3); masked selects and a tiny
+    # matmul are fully vectorized.
+    det_ids = jnp.arange(d_cap, dtype=jnp.int32)
+    det_matched = jnp.any(
+        matched[None, :] & (safe_match[None, :] == det_ids[:, None]), axis=1
     )
     unmatched = det_mask & ~det_matched
     free = ~active
     # rank unmatched dets and free slots; pair rank-i det with rank-i slot
     det_rank = jnp.cumsum(unmatched.astype(jnp.int32)) - 1  # rank among unmatched
-    free_idx = jnp.nonzero(free, size=t_cap, fill_value=t_cap)[0]
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1      # rank among free slots
     n_free = free.sum()
     can_spawn = unmatched & (det_rank < n_free)
-    slot_for_det = free_idx[jnp.clip(det_rank, 0, t_cap - 1)]  # (D,)
+    # pair[t, d]: free slot t (rank i) takes unmatched det d (rank i)
+    pair = free[:, None] & can_spawn[None, :] & (
+        free_rank[:, None] == det_rank[None, :]
+    )
+    spawned = jnp.any(pair, axis=1)  # (T,)
 
     z0 = _bbox_to_z(det_boxes, cfg)
     x0 = jnp.concatenate([z0, jnp.zeros((d_cap, 6), jnp.float32)], axis=-1)
-    spawn_slot = jnp.where(can_spawn, slot_for_det, t_cap)  # t_cap = drop
-    x = x.at[spawn_slot].set(x0, mode="drop")
-    p = p.at[spawn_slot].set(jnp.eye(10, dtype=jnp.float32)[None], mode="drop")
-    new_ids = table.next_id + det_rank.astype(jnp.int32)
-    tid = table.tid.at[spawn_slot].set(new_ids, mode="drop")
-    zero_i = jnp.zeros((d_cap,), jnp.int32)
-    age = table.age.at[spawn_slot].set(zero_i, mode="drop")
-    tsu = tsu.at[spawn_slot].set(zero_i, mode="drop")
-    hits = hits.at[spawn_slot].set(zero_i, mode="drop")
-    streak = streak.at[spawn_slot].set(zero_i, mode="drop")
-    active = active.at[spawn_slot].set(can_spawn, mode="drop")
+    x = jnp.where(spawned[:, None], jnp.matmul(pair.astype(jnp.float32), x0), x)
+    p = jnp.where(spawned[:, None, None], jnp.eye(10, dtype=jnp.float32)[None], p)
+    # slot rank == det rank, so the spawned id is next_id + free_rank
+    tid = jnp.where(spawned, table.next_id + free_rank, table.tid)
+    age = jnp.where(spawned, 0, table.age)
+    tsu = jnp.where(spawned, 0, tsu)
+    hits = jnp.where(spawned, 0, hits)
+    streak = jnp.where(spawned, 0, streak)
+    active = active | spawned
     n_spawned = can_spawn.sum().astype(jnp.int32)
     next_id = table.next_id + n_spawned
 
@@ -210,10 +218,9 @@ def apply_assignment(
     confirmed = active & (hits >= cfg.min_hits)
     boxes = _state_to_box(x, cfg).astype(jnp.int32)
     # provenance: which detection fed each track this frame
-    src_det = jnp.where(matched, safe_match, -1)
-    det_ids = jnp.arange(d_cap, dtype=jnp.int32)
-    src_det = src_det.at[spawn_slot].set(
-        jnp.where(can_spawn, det_ids, -1), mode="drop"
+    spawn_src = jnp.sum(pair * det_ids[None, :], axis=1).astype(jnp.int32)
+    src_det = jnp.where(
+        spawned, spawn_src, jnp.where(matched, safe_match, -1)
     )
     out = TrackOutputs(tid=tid, boxes=boxes, age=age, mask=confirmed, src_det=src_det)
     return table, out

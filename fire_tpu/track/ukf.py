@@ -138,3 +138,48 @@ def kf_update(x, p, z, h, r):
     xn = x + _mm(k, z - zp)
     pn = p - _mm(_mm(k, s), k.T)
     return xn, pn
+
+
+def _inv4_spd(s: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 4×4 inverse by 2×2 block decomposition (Schur
+    complement).  ``s`` is SPD (innovation covariance S = P₄ + R with
+    R = r·I), so both the A block and its Schur complement are
+    invertible.  Fully vectorized — no LU loop, batches cleanly under
+    vmap inside the tracker ``lax.scan``."""
+
+    def inv2(m):
+        det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        adj = jnp.stack([
+            jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1),
+            jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1),
+        ], axis=-2)
+        return adj / det[..., None, None]
+
+    a, b = s[..., :2, :2], s[..., :2, 2:]
+    c, d = s[..., 2:, :2], s[..., 2:, 2:]
+    ai = inv2(a)
+    sc = d - _mm(c, _mm(ai, b))          # Schur complement of A
+    sci = inv2(sc)
+    aib = _mm(ai, b)
+    top_left = ai + _mm(aib, _mm(sci, _mm(c, ai)))
+    top_right = -_mm(aib, sci)
+    bot_left = -_mm(sci, _mm(c, ai))
+    return jnp.concatenate([
+        jnp.concatenate([top_left, top_right], axis=-1),
+        jnp.concatenate([bot_left, sci], axis=-1),
+    ], axis=-2)
+
+
+def kf_update_tracker(x, p, z, r_diag: float):
+    """KF update specialized for the tracker's H = [I₄ 0] selector
+    measurement (sort_UKF.py:181-192): S = P[:4,:4] + r·I and
+    P Hᵀ = P[:, :4], so the two H matmuls vanish, and the 4×4 solve is
+    a closed-form SPD inverse instead of a batched LU — the tracker
+    scan is serial per frame, so the shorter op chain is the win.
+    Algebraically identical to ``kf_update(x, p, z, H, r·I)``."""
+    s = p[:4, :4] + r_diag * jnp.eye(4, dtype=p.dtype)
+    si = _inv4_spd(s)
+    k = _mm(p[:, :4], si)                # (10, 4)
+    xn = x + _mm(k, z - x[:4])
+    pn = p - _mm(_mm(k, s), k.T)
+    return xn, pn
