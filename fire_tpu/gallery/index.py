@@ -64,6 +64,19 @@ def _set_row(gal: jnp.ndarray, gal16: jnp.ndarray, idx, vec):
     return gal.at[idx].set(vec), gal16.at[idx].set(vec.astype(jnp.bfloat16))
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _set_rows(gal: jnp.ndarray, gal16: jnp.ndarray, start, block):
+    """Contiguous multi-row (donated) write: one dispatch for a whole
+    burst of enrollments.  ``block`` is zero-padded to a bucket size so
+    only a handful of shapes ever compile; padding rows land beyond
+    ``count`` where every query masks them out."""
+    gal = jax.lax.dynamic_update_slice(gal, block, (start, 0))
+    gal16 = jax.lax.dynamic_update_slice(
+        gal16, block.astype(jnp.bfloat16), (start, 0)
+    )
+    return gal, gal16
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _query(gal: jnp.ndarray, queries: jnp.ndarray, count, k: int):
     valid = jnp.arange(gal.shape[0]) < count
@@ -120,6 +133,17 @@ class DeviceGallery:
         self._journal_rows = 0
         self._labels_dirty = False  # a rename touched snapshot rows
         self._force_compact = False  # recovery left stale files on disk
+        # Lazy enrollment: ``add`` buffers rows host-side; one bucketed
+        # device write flushes them before the next query.  A per-add
+        # device dispatch (plus the journal's D2H readback of fresh
+        # rows) was measurably stalling the pipelined batched step —
+        # the tunnel dispatch/readback floor is ~ms-scale here.
+        self._pending: List[np.ndarray] = []
+        # host copies of rows added since the last compaction: the
+        # journal append reads these instead of a device readback.
+        # Bounded by journal_compact_threshold (compaction clears it).
+        self._fresh_host: List[np.ndarray] = []
+        self._fresh_start = 0  # absolute row index of _fresh_host[0]
 
         paths = [index_path, labels_path, db_ids_path]
         if all(p and os.path.exists(p) for p in paths):
@@ -141,7 +165,37 @@ class DeviceGallery:
         """The bf16 matmul operand for hot-path engines (batched step,
         multi-stream, sharded view) — same values the f32 path would
         cast per call, at half the HBM traffic."""
+        self._flush_pending()
         return self._gal16
+
+    def _flush_pending(self) -> None:
+        """Write all host-buffered enrollments to the device in ONE
+        bucketed dispatch (8/64/512/4096-row blocks, zero-padded; the
+        padding rows sit beyond ``count`` and are masked by every
+        query).  Falls back to per-row writes only when a block would
+        run past the padded matrix end near the capacity cap."""
+        if not self._pending:
+            return
+        n = len(self._pending)
+        start = self.count - n
+        block = np.stack(self._pending)
+        bucket = 8
+        while bucket < n:
+            bucket *= 8
+        if start + bucket <= self.padded:
+            if bucket > n:
+                block = np.concatenate(
+                    [block, np.zeros((bucket - n, self.embedding_dim), np.float32)]
+                )
+            self._gal, self._gal16 = _set_rows(
+                self._gal, self._gal16, start, jax.device_put(block)
+            )
+        else:
+            for i in range(n):
+                self._gal, self._gal16 = _set_row(
+                    self._gal, self._gal16, start + i, jax.device_put(block[i])
+                )
+        self._pending.clear()
 
     # -- persistence -------------------------------------------------------
 
@@ -258,6 +312,8 @@ class DeviceGallery:
             self._journal_rows = n_journal
             self._gal = jnp.asarray(gal)
             self._gal16 = self._gal.astype(jnp.bfloat16)
+            self._fresh_host = []
+            self._fresh_start = self.count
             log.info(
                 "Loaded gallery (%d identities: %d snapshot + %d journal) from disk.",
                 self.count, self._snapshot_rows, n_journal,
@@ -270,6 +326,7 @@ class DeviceGallery:
             self._gal = jnp.zeros((self.padded, self.embedding_dim), jnp.float32)
             self._gal16 = jnp.zeros((self.padded, self.embedding_dim), jnp.bfloat16)
             self._snapshot_rows = self._journal_rows = 0
+            self._pending, self._fresh_host, self._fresh_start = [], [], 0
             # the stale snapshot/journal files are still on disk; the
             # next save must replace them wholesale or every later
             # startup re-fails the load and re-appends the rebuilt rows
@@ -301,7 +358,15 @@ class DeviceGallery:
         if not must_compact:
             if self.count == persisted:
                 return  # nothing new
-            fresh = np.asarray(self._gal[persisted : self.count])  # one D2H
+            if persisted >= self._fresh_start:
+                # the usual case: every unpersisted row was added via
+                # ``add`` since the last compaction, so its host copy is
+                # in _fresh_host — no device readback on the hot path
+                off = persisted - self._fresh_start
+                fresh = self._fresh_host[off : off + (self.count - persisted)]
+            else:
+                self._flush_pending()
+                fresh = np.asarray(self._gal[persisted : self.count])  # one D2H
             rows = [
                 (self.labels[i], self.db_ids[i], fresh[i - persisted])
                 for i in range(persisted, self.count)
@@ -310,6 +375,7 @@ class DeviceGallery:
             self._journal_rows += len(rows)
             log.info("Appended %d rows to gallery journal.", len(rows))
             return
+        self._flush_pending()
         mat = np.asarray(self._gal[: self.count])
         buf = io.BytesIO()
         np.save(buf, mat, allow_pickle=False)
@@ -323,6 +389,10 @@ class DeviceGallery:
         self._journal_rows = 0
         self._labels_dirty = False
         self._force_compact = False
+        # compaction bound: the snapshot now covers everything, so the
+        # journal host copies can be dropped
+        self._fresh_host = []
+        self._fresh_start = self.count
         log.info("Saved gallery index and mappings to disk (compacted).")
 
     save_hnswlib_index = save  # orchestrator-facing alias
@@ -339,9 +409,10 @@ class DeviceGallery:
         n = np.linalg.norm(vec)
         if n > 0:
             vec = vec / n
-        self._gal, self._gal16 = _set_row(
-            self._gal, self._gal16, self.count, jax.device_put(vec)
-        )
+        # deferred device write: buffered host-side, flushed in one
+        # bucketed dispatch by the next query/save (_flush_pending)
+        self._pending.append(vec)
+        self._fresh_host.append(vec)
         self.labels.append(label)
         self.db_ids.append(int(db_id))
         return True
@@ -369,6 +440,7 @@ class DeviceGallery:
         take = min(len(vecs), self.capacity - self.count)
         if take < len(vecs):
             log.warning("Gallery capacity cap: loading %d of %d rows.", take, len(vecs))
+        self._flush_pending()
         start = self.count
         gal = np.array(self._gal)  # mutable copy (asarray view is read-only)
         gal[start : start + take] = np.stack(vecs[:take])
@@ -376,6 +448,11 @@ class DeviceGallery:
         self._gal16 = self._gal.astype(jnp.bfloat16)
         self.labels.extend(labels[:take])
         self.db_ids.extend(db_ids[:take])
+        # bulk-hydrated rows come from SQLite (already durable): don't
+        # hold 100k host copies — incremental saves that would need
+        # them fall back to a device readback
+        self._fresh_host = []
+        self._fresh_start = self.count
         log.info("Loaded %d embeddings into device gallery.", take)
 
     load_embeddings_into_hnswlib = load_rows
@@ -394,6 +471,7 @@ class DeviceGallery:
         """
         if self.count == 0:
             return None, None
+        self._flush_pending()
         q = jax.device_put(np.asarray(embeddings, np.float32))
         if k == 1 and _use_pallas():
             from fire_tpu.ops.pallas_topk import pallas_cosine_top1

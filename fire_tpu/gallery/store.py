@@ -71,6 +71,11 @@ class FaceStore:
             if d:
                 os.makedirs(d, exist_ok=True)
             self.conn = sqlite3.connect(self.sqlite_db_path)
+            # WAL + NORMAL sync: per-enrollment commits in the streaming
+            # hot path stop paying a full-journal fsync each (~ms).  Any
+            # sqlite3 ≥3.7 (incl. the reference's) opens WAL files.
+            self.conn.execute("PRAGMA journal_mode=WAL")
+            self.conn.execute("PRAGMA synchronous=NORMAL")
         self.conn.execute(
             "CREATE TABLE IF NOT EXISTS faces ("
             " id INTEGER PRIMARY KEY AUTOINCREMENT,"

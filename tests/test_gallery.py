@@ -213,6 +213,8 @@ def test_gallery_journal_appends_without_snapshot_rewrite(tmp_path, rng):
     g2 = DeviceGallery(16, *paths, capacity=100)
     assert g2.count == 8
     assert g2.labels == g.labels and g2.db_ids == g.db_ids
+    # gal_matmul flushes lazily-buffered adds before the private read
+    g.gal_matmul
     ids, dists = g2.query(np.asarray(g._gal[6]), k=1)
     assert int(ids[0][0]) == 6 and float(dists[0][0]) < 1e-5
 
@@ -351,3 +353,57 @@ def test_recovery_save_replaces_stale_files(tmp_path, rng):
 
     g3 = DeviceGallery(16, *paths, capacity=100)  # loads cleanly now
     assert g3.count == 4 and g3.labels == [f"p{i}" for i in range(4)]
+
+
+def test_lazy_add_flushes_before_query(rng):
+    """``add`` defers the device write; the next query must see every
+    buffered row (round-3 lazy enrollment: one bucketed dispatch per
+    step instead of one per add)."""
+    g = DeviceGallery(embedding_dim=32, capacity=1000)
+    embs = [_emb(rng) for _ in range(11)]  # > one 8-row bucket
+    for i, e in enumerate(embs):
+        assert g.add(e, f"p{i}", db_id=i)
+    assert len(g._pending) == 11  # nothing dispatched yet
+    ids, dists = g.query(embs[9], k=1)
+    assert ids[0][0] == 9 and dists[0][0] < 1e-2
+    assert not g._pending
+    # matmul-view accessor flushes too
+    g.add(_emb(rng), "late", 99)
+    mat = np.asarray(g.gal_matmul, np.float32)
+    assert np.linalg.norm(mat[g.count - 1]) > 0.5
+
+
+def test_lazy_add_incremental_save_uses_host_copies(tmp_path, rng):
+    """An incremental journal append after buffered adds must persist
+    the right vectors WITHOUT forcing a device readback (host copies
+    are kept until compaction)."""
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    g.add(_emb(rng, 16), "base", 0)
+    g.save(compact=True)  # snapshot exists → later saves are journal appends
+    vecs = [_emb(rng, 16) for _ in range(3)]
+    for i, v in enumerate(vecs):
+        g.add(v, f"j{i}", 10 + i)
+        g.save()  # per-enrollment flush, as the streaming path does
+    assert len(g._pending) == 3  # saves never touched the device
+
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.labels == ["base", "j0", "j1", "j2"]
+    for i, v in enumerate(vecs):
+        ids, dists = g2.query(v, k=1)
+        assert ids[0][0] == 1 + i and dists[0][0] < 1e-2
+
+
+def test_lazy_add_bucket_fallback_near_capacity(rng):
+    """Bursts landing within a bucket of the padded matrix end take the
+    per-row path; results must stay exact right up to the cap."""
+    g = DeviceGallery(embedding_dim=16, capacity=128)  # padded == 128
+    embs = [_emb(rng, 16) for _ in range(128)]
+    for i in range(124):
+        assert g.add(embs[i], f"p{i}", i)
+    g.query(embs[0], k=1)  # flush the big burst
+    for i in range(124, 128):
+        assert g.add(embs[i], f"p{i}", i)  # start+8 > padded → row path
+    assert not g.add(_emb(rng, 16), "overflow", 999)
+    ids, _ = g.query(embs[126], k=1)
+    assert ids[0][0] == 126
