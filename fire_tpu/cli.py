@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trained_detector", type=str, default=None,
                    help="Detector variables from `python -m fire_tpu.train.detect` "
                         "(msgpack); overrides the detector weights for this run")
+    p.add_argument("--retinaface_size", type=int, default=None,
+                   help="RetinaFace network input size (default 1024, the "
+                        "reference ONNX weights' operating point; use 512 "
+                        "with weights from `python -m fire_tpu.train."
+                        "detect_retina`, which trains at that size)")
     return p
 
 
@@ -85,6 +90,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         import jax
 
         jax.profiler.start_trace(args.profile)
+
+    engine_cfg = None
+    if args.retinaface_size:
+        from fire_tpu.config import EngineConfig
+
+        engine_cfg = EngineConfig(
+            retinaface_size=(args.retinaface_size, args.retinaface_size)
+        )
 
     face_recog = FaceRecognition(
         detector_type=args.detector,
@@ -106,6 +119,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         weights_dir=args.weights_dir,
         trained_encoder=args.trained,
         trained_detector=args.trained_detector,
+        engine_cfg=engine_cfg,
     )
 
     if args.core:

@@ -139,6 +139,9 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=0)
     ap.add_argument("--detection_interval", type=int, default=1)
     ap.add_argument("--detector", default="yunet")
+    ap.add_argument("--retinaface_size", type=int, default=None,
+                    help="RetinaFace input size (512 for detect_retina-"
+                         "trained weights; default 1024)")
     ap.add_argument("--encoder", default="512", choices=["128", "512"])
     ap.add_argument("--video", default=None,
                     help="reuse an existing rendered video + GT (skip render)")
@@ -156,6 +159,13 @@ def main() -> None:
         face_px=args.face_px, seed=args.seed,
     )
 
+    engine_cfg = None
+    if args.retinaface_size:
+        from fire_tpu.config import EngineConfig
+
+        engine_cfg = EngineConfig(
+            retinaface_size=(args.retinaface_size, args.retinaface_size)
+        )
     fr = FaceRecognition(
         detector_type=args.detector,
         encoder_model_type=args.encoder,
@@ -167,6 +177,7 @@ def main() -> None:
         weights_dir=None,
         trained_detector=args.trained_detector,
         trained_encoder=args.trained,
+        engine_cfg=engine_cfg,
     )
     metrics = score_video(fr, video, gt, batch_size=args.batch_size)
     fr.close()

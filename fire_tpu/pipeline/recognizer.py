@@ -50,7 +50,12 @@ from typing import List, Optional
 import cv2
 import numpy as np
 
-from fire_tpu.config import GalleryConfig, RecognizerConfig, TrackerConfig
+from fire_tpu.config import (
+    EngineConfig,
+    GalleryConfig,
+    RecognizerConfig,
+    TrackerConfig,
+)
 from fire_tpu.gallery.crypto import Encryptor
 from fire_tpu.gallery.index import DeviceGallery
 from fire_tpu.gallery.store import FaceStore
@@ -100,6 +105,7 @@ class FaceRecognition:
         trained_encoder: Optional[str] = None,
         trained_detector: Optional[str] = None,
         sharded_gallery: Optional[bool] = None,
+        engine_cfg: Optional["EngineConfig"] = None,
     ):
         encoder_model_type = encoder_model_type or "128"
         self.cfg = RecognizerConfig(
@@ -118,6 +124,7 @@ class FaceRecognition:
             storage_root=storage_root,
             weights_dir=weights_dir,
             gallery=GalleryConfig(max_recent=max_recent, max_new=max_new),
+            engine=engine_cfg or EngineConfig(),
         ).with_embedding_dim()
         cfg = self.cfg
         self.similarity_threshold = similarity_threshold

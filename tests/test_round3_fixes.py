@@ -277,3 +277,26 @@ def test_journal_index_less_record_rejected(tmp_path):
         f.write(payload)
     g2 = DeviceGallery(16, *paths, capacity=100)
     assert g2.count == 0  # corrupt -> fresh; caller rebuilds from SQLite
+
+
+def test_retinaface_size_flag_reaches_engine(tmp_path):
+    """--retinaface_size N flows CLI → engine_cfg → DeviceEngine input
+    (the deploy knob for `python -m fire_tpu.train.detect_retina`
+    weights, which train at 512, vs the reference ONNX operating point
+    of 1024)."""
+    from fire_tpu.cli import build_parser
+    from fire_tpu.config import EngineConfig
+    from fire_tpu.pipeline.recognizer import FaceRecognition
+
+    args = build_parser().parse_args(["--retinaface_size", "512"])
+    assert args.retinaface_size == 512
+
+    fr = FaceRecognition(
+        detector_type="retinaface", encoder_model_type="128",
+        enable_logging=False, storage_root=str(tmp_path / "s"),
+        weights_dir=None,
+        engine_cfg=EngineConfig(retinaface_size=(64, 64),
+                                detect_size=(64, 64)),
+    )
+    assert fr.engine._detect_input == (64, 64)
+    fr.close()
