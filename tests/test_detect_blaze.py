@@ -169,3 +169,33 @@ def test_trained_blazeface_loads_into_engine(tmp_path):
     # production detect path runs end to end with the loaded weights
     frame = np.zeros((240, 320, 3), np.uint8)
     assert isinstance(eng.detect_faces(frame), list)
+
+
+def test_trainer_transform_matches_engine_detect_transform():
+    """The deploy-transform contract: the jitted train step must feed
+    the network EXACTLY what engine._build_detect feeds it for the same
+    cv2-BGR frame — bf16 letterbox (bottom/right pad), then /255 and
+    BGR→RGB (engine.py _build_detect run()).  Divergence here is the
+    silent domain gap that cost BlazeFace half its held-out precision
+    (README §detector training)."""
+    from fire_tpu.ops.image import bgr_to_rgb, letterbox
+
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 255, (480, 640, 3), np.uint8)
+
+    # engine path (engine._build_detect, BlazeFace branch)
+    canvas_e, scale_e = letterbox(
+        jnp.asarray(frame).astype(jnp.bfloat16), (INPUT_PX, INPUT_PX)
+    )
+    x_engine = bgr_to_rgb(canvas_e[None].astype(jnp.float32) / 255.0)
+
+    # trainer path (make_blaze_pool_train_step's step body)
+    canvas_t, scale_t = letterbox(
+        jnp.asarray(frame[None]).astype(jnp.bfloat16), (INPUT_PX, INPUT_PX)
+    )
+    x_train = canvas_t.astype(jnp.float32)[..., ::-1] / 255.0
+
+    assert float(scale_e) == float(scale_t)
+    np.testing.assert_allclose(
+        np.asarray(x_engine), np.asarray(x_train), atol=1e-3
+    )
