@@ -180,3 +180,28 @@ def test_trained_retinaface_loads_into_engine(tmp_path):
     np.testing.assert_array_equal(leaf, ref)
     frame = np.zeros((240, 320, 3), np.uint8)
     assert isinstance(eng.detect_faces(frame), list)
+
+
+def test_trainer_transform_matches_engine_detect_transform():
+    """Deploy-transform contract, RetinaFace branch: the engine feeds
+    raw-pixel RGB — letterbox(bf16) → /255 → bgr_to_rgb → ×255
+    (engine._build_detect), which reduces to flip(canvas); the trainer
+    must match bit-for-bit in f32."""
+    from fire_tpu.ops.image import bgr_to_rgb, letterbox
+
+    rng = np.random.default_rng(4)
+    frame = rng.integers(0, 255, (480, 640, 3), np.uint8)
+    size = (512, 512)
+
+    canvas_e, scale_e = letterbox(jnp.asarray(frame).astype(jnp.bfloat16), size)
+    x_engine = bgr_to_rgb(canvas_e[None].astype(jnp.float32) / 255.0) * 255.0
+
+    canvas_t, scale_t = letterbox(
+        jnp.asarray(frame[None]).astype(jnp.bfloat16), size
+    )
+    x_train = canvas_t.astype(jnp.float32)[..., ::-1]
+
+    assert float(scale_e) == float(scale_t)
+    np.testing.assert_allclose(
+        np.asarray(x_engine), np.asarray(x_train), atol=1e-2
+    )
