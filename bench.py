@@ -48,8 +48,38 @@ FACES_PER_FRAME = 4
 CHURN_EVERY = 50
 
 
-def main() -> None:
+def _init_backend_with_retry(max_tries: int = 5, delay_s: float = 60.0):
+    """Initialize the JAX backend, retrying on transient tunnel outages.
+
+    The dev TPU is reached through a tunnel that occasionally refuses the
+    first connection (UNAVAILABLE at backend setup).  Importing fire_tpu is
+    backend-free by design (config.py uses math.log), so the only place a
+    live device is first demanded is here — retry it instead of letting one
+    flaky probe zero out the whole round's perf evidence.
+    """
     import jax
+
+    last = None
+    for attempt in range(1, max_tries + 1):
+        try:
+            devs = jax.devices()
+            _log(f"backend ready: {devs[0].platform} x{len(devs)}")
+            return jax
+        except Exception as e:  # noqa: BLE001 - any init failure is retryable
+            last = e
+            _log(f"backend init attempt {attempt}/{max_tries} failed: {e}")
+            # jax caches a failed backend; clear it so the retry is real
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            if attempt < max_tries:
+                time.sleep(delay_s)
+    raise RuntimeError(f"backend unavailable after {max_tries} tries") from last
+
+
+def main() -> None:
+    jax = _init_backend_with_retry()
 
     from fire_tpu.config import TrackerConfig
     from fire_tpu.pipeline.recognizer import FaceRecognition

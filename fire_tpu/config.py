@@ -9,6 +9,7 @@ through module-level constants.  Reference provenance is cited per field
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -45,8 +46,10 @@ class TrackerConfig:
     r_diag: float = 10.0
 
     # State clamps (sort_UKF.py:78-79,150-153,274-275)
-    min_log_area: float = float(jnp.log(10.0))
-    min_log_aspect: float = float(jnp.log(0.5))
+    # math.log, NOT jnp.log: importing config must never initialize a JAX
+    # backend (a flaky TPU tunnel would make the whole package unimportable).
+    min_log_area: float = math.log(10.0)
+    min_log_aspect: float = math.log(0.5)
     max_velocity: float = 30.0
     max_acceleration: float = 20.0
     min_wh: float = 10.0
