@@ -121,6 +121,12 @@ class EngineConfig:
     # strict parity runs (a borderline detection whose score sits exactly
     # at the confidence threshold can flip between the two).
     strict_f32_preprocess: bool = False
+    # Sibling knob for the gallery: matching normally runs against a
+    # resident bf16 shadow of the embedding matrix (half the HBM read;
+    # ~0.4%/element quantization can flip borderline 0.7/0.75 threshold
+    # decisions).  Set True to route query/find_similar through the f32
+    # master for strict reference-parity numerics.
+    strict_f32_match: bool = False
 
     @property
     def cdtype(self):

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fire_tpu.gallery.crypto import Encryptor
-from fire_tpu.ops.gallery_match import cosine_topk
+from fire_tpu.ops.gallery_match import cosine_topk, cosine_topk_f32
 
 log = logging.getLogger(__name__)
 
@@ -77,10 +77,12 @@ def _set_rows(gal: jnp.ndarray, gal16: jnp.ndarray, start, block):
     return gal, gal16
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _query(gal: jnp.ndarray, queries: jnp.ndarray, count, k: int):
+@partial(jax.jit, static_argnames=("k", "strict"))
+def _query(gal: jnp.ndarray, queries: jnp.ndarray, count, k: int,
+           strict: bool = False):
     valid = jnp.arange(gal.shape[0]) < count
-    return cosine_topk(queries, gal, valid, k=k)
+    fn = cosine_topk_f32 if strict else cosine_topk
+    return fn(queries, gal, valid, k=k)
 
 
 def _use_pallas() -> bool:
@@ -104,6 +106,7 @@ class DeviceGallery:
         encryptor: Optional[Encryptor] = None,
         capacity: int = 100_000,
         journal_compact_threshold: int = 4096,
+        strict_f32_match: bool = False,
     ):
         self.embedding_dim = embedding_dim
         self.capacity = capacity
@@ -117,6 +120,10 @@ class DeviceGallery:
         self.db_ids_path = db_ids_path
         self.encryptor = encryptor
         self.journal_compact_threshold = journal_compact_threshold
+        # EngineConfig.strict_f32_match: route matching through the f32
+        # master instead of the bf16 shadow (reference-parity numerics
+        # for borderline 0.7-enroll / 0.75-unify threshold decisions).
+        self.strict_f32_match = strict_f32_match
 
         self.labels: List[str] = []
         self.db_ids: List[int] = []
@@ -162,11 +169,12 @@ class DeviceGallery:
 
     @property
     def gal_matmul(self) -> jnp.ndarray:
-        """The bf16 matmul operand for hot-path engines (batched step,
-        multi-stream, sharded view) — same values the f32 path would
-        cast per call, at half the HBM traffic."""
+        """The matmul operand for hot-path engines (batched step,
+        multi-stream, sharded view).  bf16 shadow by default — same
+        values the f32 path would cast per call, at half the HBM
+        traffic; the f32 master under ``strict_f32_match``."""
         self._flush_pending()
-        return self._gal16
+        return self._gal if self.strict_f32_match else self._gal16
 
     def _flush_pending(self) -> None:
         """Write all host-buffered enrollments to the device in ONE
@@ -227,13 +235,23 @@ class DeviceGallery:
     def _read_journal(self):
         """Yield (abs_row_index, label, db_id, vec) from the sidecar
         journal.  Raises on any malformed record (caller treats as
-        corrupt and rebuilds from SQLite)."""
+        corrupt and rebuilds from SQLite).
+
+        Legacy (round-2) records are bare [(label, db_id, blob), ...]
+        lists without a row index; they were replayed strictly
+        sequentially after the snapshot, so migrate them in place by
+        assigning sequential indices from the snapshot end and forcing
+        an immediate compaction (which rewrites the journal in the
+        indexed format) instead of discarding a valid journal.
+        """
         path = self._journal_path
         if not path or not os.path.exists(path):
             return
         with open(path, "rb") as f:
             data = f.read()
         off = 0
+        next_row = self._snapshot_rows  # sequential cursor for legacy records
+        legacy_seen = False
         while off < len(data):
             if off + 4 > len(data):
                 raise ValueError("truncated journal record header")
@@ -246,18 +264,27 @@ class DeviceGallery:
             if self.encryptor:
                 payload = self.encryptor.decrypt_data(payload)
             rec = pickle.loads(payload)
-            if not isinstance(rec, dict):
-                # only indexed records are ever written; anything else
-                # is corruption → rebuild from SQLite (index-less rows
-                # would not be idempotent across the compaction crash
-                # window)
-                raise ValueError("journal record without row index")
-            start = int(rec["start"])
-            for i, (label, db_id, blob) in enumerate(rec["rows"]):
+            if isinstance(rec, dict):
+                start = int(rec["start"])
+                rows = rec["rows"]
+            elif isinstance(rec, (list, tuple)):
+                if not legacy_seen:
+                    legacy_seen = True
+                    self._force_compact = True  # rewrite in indexed format
+                    log.warning(
+                        "Legacy (index-less) gallery journal detected — "
+                        "migrating sequentially and compacting on next save."
+                    )
+                start = next_row
+                rows = rec
+            else:
+                raise ValueError("unrecognized journal record type")
+            for i, (label, db_id, blob) in enumerate(rows):
                 vec = np.frombuffer(blob, np.float32)
                 if vec.shape[0] != self.embedding_dim:
                     raise ValueError("journal row dim mismatch")
                 yield start + i, label, int(db_id), vec
+            next_row = max(next_row, start + len(rows))
 
     def _append_journal(self, rows, start_row: int) -> None:
         """Append one length-prefixed record holding ``rows`` =
@@ -473,6 +500,11 @@ class DeviceGallery:
             return None, None
         self._flush_pending()
         q = jax.device_put(np.asarray(embeddings, np.float32))
+        if self.strict_f32_match:
+            # f32-master numerics (the Pallas kernel is bf16-only)
+            sims, idx = _query(self._gal, q, self.count, min(k, self.count),
+                               strict=True)
+            return np.asarray(idx), 1.0 - np.asarray(sims)
         if k == 1 and _use_pallas():
             from fire_tpu.ops.pallas_topk import pallas_cosine_top1
 

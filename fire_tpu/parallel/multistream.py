@@ -52,6 +52,10 @@ class MultiStreamEngine:
         self._state_sharding = NamedSharding(mesh, P("dp"))
         self.states = jax.device_put(stacked, self._state_sharding)
         self._step_cache = {}
+        # cached device-resident zero shards, keyed by (h, w, b, stream):
+        # a finished stream's pad batch is uploaded once, then reused —
+        # its H2D (the dev tunnel's bottleneck) drops to zero
+        self._zero_shards = {}
 
     def _build_step(self, frame_hw, batch):
         inner_step = self.inner._build_step(frame_hw, batch).__wrapped__
@@ -75,8 +79,18 @@ class MultiStreamEngine:
         )
         return jax.jit(fn)
 
-    def submit(self, frames: np.ndarray):
-        """frames: (S, B, H, W, 3) uint8 — one batch per stream."""
+    def submit(self, frames: np.ndarray, active=None):
+        """frames: (S, B, H, W, 3) uint8 — one batch per stream.
+
+        ``active`` (optional list of S bools): streams marked inactive
+        are fed a cached device-resident zero batch instead of paying a
+        fresh host→device transfer every step (a stream that ends early
+        would otherwise keep uploading pad frames for the rest of the
+        run).  The SPMD step itself still runs on every device — with
+        one stream per chip the devices execute in lockstep, so masking
+        the compute would not shorten the step; the transfer is the
+        real per-step cost that can be skipped.
+        """
         s, b, h, w = frames.shape[:4]
         assert s == self.n_streams, f"need {self.n_streams} streams, got {s}"
         key = (h, w, b)
@@ -84,9 +98,36 @@ class MultiStreamEngine:
         if fn is None:
             fn = self._build_step((h, w), b)
             self._step_cache[key] = fn
-        frames_dev = jax.device_put(
-            frames, NamedSharding(self.mesh, P("dp"))
-        ) if isinstance(frames, np.ndarray) else frames
+        sharding = NamedSharding(self.mesh, P("dp"))
+        if (
+            isinstance(frames, np.ndarray)
+            and active is not None
+            and not all(active)
+            and self.mesh.shape.get("mp", 1) == 1
+        ):
+            # one dp shard == one device: assemble per-stream shards,
+            # uploading only the live ones
+            devs = self.mesh.devices.reshape(-1)
+            shards = []
+            for i in range(s):
+                if active[i]:
+                    shards.append(jax.device_put(frames[i : i + 1], devs[i]))
+                else:
+                    z = self._zero_shards.get((h, w, b, i))
+                    if z is None:
+                        z = jax.device_put(
+                            np.zeros((1, b, h, w, 3), np.uint8), devs[i]
+                        )
+                        self._zero_shards[(h, w, b, i)] = z
+                    shards.append(z)
+            frames_dev = jax.make_array_from_single_device_arrays(
+                (s, b, h, w, 3), sharding, shards
+            )
+        else:
+            frames_dev = (
+                jax.device_put(frames, sharding)
+                if isinstance(frames, np.ndarray) else frames
+            )
         count = jnp.asarray(self.inner.gallery.count, jnp.int32)
         self.states, packed = fn(
             self.inner.engine.det_vars,

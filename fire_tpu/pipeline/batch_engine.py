@@ -278,8 +278,16 @@ class BatchStreamEngine:
 
         def step(det_vars, enc_vars, gal, count, state, frames_u8):
             # ---- detect (vmapped over every interval-th frame only —
-            # frame-skip semantics, face_recognition.py:376-393)
-            det_frames = frames_u8[::interval] if interval > 1 else frames_u8
+            # frame-skip semantics, face_recognition.py:376-393).  The
+            # per-frame path detects 1-based global frames d, 2d, … =
+            # 0-based indices d-1, 2d-1, …; batch % interval == 0 keeps
+            # that phase stable across batch boundaries, so local index
+            # l is a detect frame iff l % d == d-1 — exactly the
+            # reference's `frame_count % interval == 0` (tested in
+            # tests/test_batch_engine.py::test_frame_skip_phase_parity).
+            det_frames = (
+                frames_u8[interval - 1 :: interval] if interval > 1 else frames_u8
+            )
             dets = jax.vmap(lambda f: detector_fn(det_vars, f))(det_frames)
             # keep top-k detections per frame for encoding/tracking
             # (clamped to the detector's padded slot count — a backend
@@ -328,7 +336,7 @@ class BatchStreamEngine:
                 # frames carry an all-False mask (tracker.update([]))
                 def expand(x, fill=0):
                     full = jnp.full((batch, *x.shape[1:]), fill, x.dtype)
-                    return full.at[::interval].set(x)
+                    return full.at[interval - 1 :: interval].set(x)
 
                 boxes = expand(boxes.astype(jnp.float32))
                 mask = expand(mask, fill=False)

@@ -196,6 +196,7 @@ class FaceRecognition:
             hnsw_db_ids_path,
             self.encryptor,
             capacity=cfg.gallery.capacity,
+            strict_f32_match=cfg.engine.strict_f32_match,
         )
         # cold-start hydrate from SQLite (face_recognition.py:151-155)
         if self.gallery.count == 0:
@@ -1067,10 +1068,12 @@ class FaceRecognition:
             readers = [PrefetchReader(c) for c in caps]
             iters = [r.frames() for r in readers]
             done = [False] * n_real
-            blank = np.zeros((wh[1], wh[0], 3), np.uint8)
 
             def next_batches():
-                """(S, B, H, W, 3) batch + per-stream real-frame lists."""
+                """(S, B, H, W, 3) batch + per-stream real-frame lists +
+                per-stream active flags (finished/padding-only streams
+                skip the host fill here and the H2D in submit — the
+                device reuses a cached zero batch for them)."""
                 per_stream = []
                 for i in range(n_real):
                     frames = []
@@ -1082,16 +1085,20 @@ class FaceRecognition:
                             frames.append(f)
                     per_stream.append(frames)
                 if all(len(f) == 0 for f in per_stream):
-                    return None, None
-                stacked = np.empty(
+                    return None, None, None
+                stacked = np.zeros(
                     (n_streams, batch_size, wh[1], wh[0], 3), np.uint8
                 )
-                for i in range(n_streams):
-                    frames = per_stream[i] if i < n_real else []
-                    pad = frames[-1] if frames else blank
+                active = [False] * n_streams
+                for i in range(n_real):
+                    frames = per_stream[i]
+                    if not frames:
+                        continue  # finished stream: cached zero shard
+                    active[i] = True
+                    pad = frames[-1]
                     for b in range(batch_size):
                         stacked[i, b] = frames[b] if b < len(frames) else pad
-                return stacked, per_stream
+                return stacked, per_stream, active
 
             def emit(token, per_stream) -> bool:
                 t0 = time.time()
@@ -1118,10 +1125,10 @@ class FaceRecognition:
 
             inflight = None
             while True:
-                stacked, per_stream = next_batches()
+                stacked, per_stream, active = next_batches()
                 if stacked is None:
                     break
-                token = mse.submit(stacked)
+                token = mse.submit(stacked, active=active)
                 prev, inflight = inflight, (token, per_stream)
                 if prev is not None and not emit(*prev):
                     inflight = None

@@ -47,7 +47,11 @@ def init_state(
         # equivalent starting point
         from fire_tpu.pipeline.engine import _materialize
 
-        variables = _materialize(jax.eval_shape(model.init, kv, x), seed=0)
+        # derive the numpy-init seed from the caller's rng so distinct
+        # training keys give distinct backbone inits (not just distinct
+        # classifier heads)
+        seed = int(jax.random.randint(kv, (), 0, 2**31 - 1))
+        variables = _materialize(jax.eval_shape(model.init, kv, x), seed=seed)
     else:
         variables = model.init(kv, x)
     d = model.embed_dim

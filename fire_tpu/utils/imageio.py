@@ -45,13 +45,14 @@ def get_image(img_uri: Union[str, Path, np.ndarray]) -> np.ndarray:
     elif isinstance(img_uri, (str, Path)):
         path = str(img_uri)
         if not os.path.isfile(path):
-            raise ValueError(f"Input image file path ({path}) does not exist.")
+            raise ValueError(f"No image file found at {path!r}.")
         img = cv2.imread(path)
     else:
         raise ValueError(
-            f"Invalid image input - {img_uri}. Exact paths, pre-loaded numpy "
-            "arrays, base64 encoded strings and urls are welcome."
+            f"Unsupported image source {type(img_uri).__name__!r}: pass a "
+            "file path, a loaded BGR ndarray, a base64 data-URI, or an "
+            "HTTP(S) URL."
         )
     if img is None or len(img.shape) != 3 or np.prod(img.shape) == 0:
-        raise ValueError("Input image needs to have 3 channels and must not be empty.")
+        raise ValueError("Decoded image must be non-empty with 3 channels (BGR).")
     return img

@@ -188,14 +188,16 @@ def test_stream_results_host_semantics(bse, tmp_path):
 
 
 def test_detection_interval_coasting(bse):
-    """interval=4: detector runs on frames 0 and 4 only; tracker coasts
-    between (frame-skip semantics, face_recognition.py:376-393)."""
+    """interval=4: detector runs on local frames 3 and 7 only (the
+    1-based global frames 4 and 8, matching the per-frame path's
+    `frame_count % interval == 0`); tracker coasts between
+    (frame-skip semantics, face_recognition.py:376-393)."""
     b, gal = bse
     from fire_tpu.pipeline.batch_engine import BatchStreamEngine
 
     b4 = BatchStreamEngine(b.engine, gal, b.cfg, b.tcfg, encode_k=MAXF,
                            detection_interval=4)
-    # moving face present in every frame; detector only sees 0 and 4
+    # moving face present in every frame; detector only sees 3 and 7
     mk = lambda i: _frame([((10 + 2 * i, 20, 16, 16), 6)])
     frames = np.stack([mk(i) for i in range(8)])
     res = b4.process_batch(frames)
@@ -206,7 +208,38 @@ def test_detection_interval_coasting(bse):
     # detect frames (2 per batch), so min_hits=4 is reached in batch 3
     assert res3.mask.sum() > 0
     # coast frames carry no detections → src embeddings only on detect frames
-    assert (res.enroll_frame[res.enroll_frame >= 0] % 4 == 0).all()
+    assert (res.enroll_frame[res.enroll_frame >= 0] % 4 == 3).all()
+
+
+def test_frame_skip_phase_parity(bse):
+    """Cross-batch frame-skip phase parity with the per-frame path
+    (VERDICT r3 weak #7): the per-frame path detects 1-based global
+    frames d, 2d, … (face_recognition.py:376-379); the batched path
+    must hit the SAME global frames across batch boundaries."""
+    b, gal = bse
+    from fire_tpu.pipeline.batch_engine import BatchStreamEngine
+
+    d, B, n_batches = 3, 6, 3
+    b3 = BatchStreamEngine(b.engine, gal, b.cfg, b.tcfg, encode_k=MAXF,
+                           detection_interval=d)
+    # a fresh identity appears each batch → enrollments keep firing on
+    # detect frames in every batch, pinning the phase in each one
+    detect_frames = []
+    for j in range(n_batches):
+        frames = np.stack(
+            [_frame([((10, 20, 16, 16), j + 2)]) for _ in range(B)]
+        )
+        res = b3.process_batch(frames)
+        for local in res.enroll_frame[res.enroll_frame >= 0]:
+            detect_frames.append(j * B + int(local))
+        # enroll the new identity so the next batch's face is novel again
+        idx = np.nonzero(res.enroll_frame >= 0)[0]
+        if idx.size:
+            e = res.enroll_emb[idx[0]]
+            gal.add(e / np.linalg.norm(e), f"p{j}", db_id=j + 1)
+    assert detect_frames, "no enrollments fired — phase test is vacuous"
+    # every source frame satisfies the per-frame rule: (g+1) % d == 0
+    assert all((g + 1) % d == 0 for g in detect_frames), detect_frames
 
 
 def test_enroll_starvation_more_than_max_enroll(bse):

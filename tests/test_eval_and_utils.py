@@ -66,7 +66,7 @@ def test_get_image_sources(tmp_path, rng):
     uri = "data:image/png;base64," + base64.b64encode(buf.tobytes()).decode()
     np.testing.assert_array_equal(get_image(uri), img)
     # missing path
-    with pytest.raises(ValueError, match="does not exist"):
+    with pytest.raises(ValueError, match="No image file found"):
         get_image(str(tmp_path / "nope.png"))
 
 

@@ -287,6 +287,58 @@ def test_gallery_rename_forces_compaction(tmp_path, rng):
     assert g2.labels == ["new", "x"]
 
 
+def test_gallery_legacy_journal_migrates(tmp_path, rng):
+    """A pre-round-3 journal (bare [(label, db_id, blob), ...] records,
+    no row index) is migrated sequentially instead of being treated as
+    corruption, and the next save compacts it into the indexed format."""
+    import os
+    import pickle
+
+    paths = [str(tmp_path / n) for n in ("idx.bin", "labels.pkl", "ids.pkl")]
+    g = DeviceGallery(16, *paths, capacity=100)
+    e0 = _emb(rng, 16)
+    g.add(e0, "snap", 1)
+    g.save(compact=True)
+    # hand-write a legacy journal record exactly as the round-2 writer did
+    e1, e2 = _emb(rng, 16), _emb(rng, 16)
+    payload = pickle.dumps([("j1", 2, e1.tobytes()), ("j2", 3, e2.tobytes())])
+    with open(paths[0] + ".journal", "ab") as f:
+        f.write(len(payload).to_bytes(4, "little"))
+        f.write(payload)
+
+    g2 = DeviceGallery(16, *paths, capacity=100)
+    assert g2.labels == ["snap", "j1", "j2"] and g2.db_ids == [1, 2, 3]
+    np.testing.assert_allclose(np.asarray(g2._gal[1]), e1, rtol=1e-6)
+    assert g2._force_compact  # migration rewrites on next save
+    g2.save()
+    assert not os.path.exists(paths[0] + ".journal")
+    g3 = DeviceGallery(16, *paths, capacity=100)
+    assert g3.labels == ["snap", "j1", "j2"] and g3._snapshot_rows == 3
+
+
+def test_gallery_strict_f32_match_routes_master(tmp_path, rng):
+    """strict_f32_match: queries run against the f32 master — a vector
+    whose bf16 rounding would misrank two near-identical candidates
+    still ranks exactly as f32 does."""
+    g = DeviceGallery(16, capacity=100, strict_f32_match=True)
+    base = _emb(rng, 16)
+    # two candidates whose similarity gap to the query (~5e-5) is far
+    # above f32 resolution but far below bf16 resolution (~4e-3)
+    a = base.copy()
+    b = base + 0.01 * _emb(rng, 16)
+    b /= np.linalg.norm(b)
+    g.add(a, "a", 1)
+    g.add(b, "b", 2)
+    q = (a + 0.002 * _emb(rng, 16)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    ids, dists = g.query(q, k=2)
+    sims_f32 = np.array([q.astype(np.float64) @ a, q.astype(np.float64) @ b])
+    assert list(ids[0]) == list(np.argsort(-sims_f32))
+    np.testing.assert_allclose(1.0 - dists[0][0], sims_f32.max(), atol=1e-6)
+    # and the hot-path matmul operand is the f32 master itself
+    assert g.gal_matmul.dtype == np.float32
+
+
 def test_gallery_corrupt_journal_recovers_fresh(tmp_path, rng):
     """Truncated/garbage journal == corrupt index: fresh gallery so the
     orchestrator's rebuild-from-SQLite path kicks in."""
