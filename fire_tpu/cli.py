@@ -80,7 +80,63 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference ONNX weights' operating point; use 512 "
                         "with weights from `python -m fire_tpu.train."
                         "detect_retina`, which trains at that size)")
+    p.add_argument("--no_default_weights", action="store_true",
+                   help="Skip auto-loading the committed weights_trained/ "
+                        "defaults when no reference ONNX/TFLite files are "
+                        "found (leaves random init in place — the detector "
+                        "will not find real faces)")
     return p
+
+
+# committed trained defaults per detector slot / encoder width
+_TRAINED_DEFAULTS = {
+    "yunet": "yunet_synth.msgpack",
+    "mediapipe": "blazeface_synth.msgpack",
+    "blazeface": "blazeface_synth.msgpack",
+    "retinaface": "retinaface_synth.msgpack",
+}
+
+
+def _load_trained_defaults(face_recog, args) -> None:
+    """Out-of-the-box detection: when startup probing found no usable
+    reference ONNX/TFLite weights (engine.weight_source stays
+    "random-init"), fall back to the from-scratch-trained weights
+    committed under <repo>/weights_trained/.  The reference never runs
+    random init — its detectors always ship frozen weights
+    (retinaface_face_detector.py:16-53, mediapipe_face_detector.py:28-33)
+    — so neither should the CLI."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wdir = os.path.join(root, "weights_trained")
+    eng = getattr(face_recog, "engine", None)
+    if eng is None or not hasattr(eng, "weight_source"):
+        return  # stubbed/foreign engine: nothing to probe
+    if eng.weight_source["detector"] == "random-init":
+        fname = _TRAINED_DEFAULTS.get(args.detector)
+        path = os.path.join(wdir, fname) if fname else None
+        if args.detector == "retinaface" and args.retinaface_size != 512:
+            # the committed retinaface weights are trained at 512; at any
+            # other input size they are no better than random
+            logging.warning(
+                "retinaface has no reference ONNX weights and the trained "
+                "default needs --retinaface_size 512 (got %s) — running "
+                "RANDOM INIT; it will not find real faces.",
+                args.retinaface_size or 1024,
+            )
+        elif path and os.path.exists(path):
+            eng.load_trained_detector(path)
+        else:
+            logging.warning(
+                "No weights found for detector %r (reference files absent, "
+                "no committed default at %s) — running RANDOM INIT.",
+                args.detector, path,
+            )
+    if eng.weight_source["encoder"] == "random-init":
+        enc_name = f"facenet{face_recog.cfg.encoder_model_type}_synth.msgpack"
+        path = os.path.join(wdir, enc_name)
+        if os.path.exists(path):
+            eng.load_trained_encoder(path)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -121,6 +177,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         trained_detector=args.trained_detector,
         engine_cfg=engine_cfg,
     )
+    if not args.no_default_weights:
+        _load_trained_defaults(face_recog, args)
 
     if args.core:
         print(f"Use only 1 cpu core: {bool(args.core)}")

@@ -256,11 +256,12 @@ def test_enroll_window_sees_image_mode_enrollments(recog, tmp_path):
 
 # ----------------------------------------------- journal strictness ---
 
-def test_journal_index_less_record_rejected(tmp_path):
-    """ADVICE r2: index-less 'legacy' journal records are never written
-    by this codebase and are not idempotent across the compaction crash
-    window — they must be treated as corruption (fresh gallery, rebuilt
-    from SQLite)."""
+def test_journal_index_less_record_migrates(tmp_path):
+    """ADVICE r3 reversed the r2 stance: a legacy (round-2, index-less)
+    journal written by an older build is VALID sequential data — migrate
+    it instead of discarding it as corruption.  Full coverage lives in
+    tests/test_gallery.py::test_gallery_legacy_journal_migrates; this
+    pins the non-destructive outcome."""
     import pickle
 
     from fire_tpu.gallery.index import DeviceGallery
@@ -276,7 +277,8 @@ def test_journal_index_less_record_rejected(tmp_path):
         f.write(len(payload).to_bytes(4, "little"))
         f.write(payload)
     g2 = DeviceGallery(16, *paths, capacity=100)
-    assert g2.count == 0  # corrupt -> fresh; caller rebuilds from SQLite
+    assert g2.labels == ["a", "b"]  # migrated, not discarded
+    assert g2._force_compact  # and rewritten in the indexed format on save
 
 
 def test_retinaface_size_flag_reaches_engine(tmp_path):
