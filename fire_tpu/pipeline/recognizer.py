@@ -845,6 +845,37 @@ class FaceRecognition:
             self._process_stream(cap, annotate, save_path, duration, name,
                                  stream_type="video")
 
+    def process_frames(
+        self,
+        frames,
+        annotate: bool = True,
+        save_path: Optional[str] = None,
+        batch_size: int = 0,
+        duration: int = 0,
+        name: Optional[str] = None,
+        fps: float = 30.0,
+    ) -> None:
+        """Run the full video pipeline over pre-decoded in-RAM frames
+        (an iterable of BGR uint8 ndarrays) — cameras delivering raw
+        buffers, decode-excluded benchmarking (VERDICT r3 #7), test
+        harnesses.  Identical semantics to :meth:`process_video`
+        (annotate, encrypted save, show/quit, duration, rename label);
+        only the frame source differs."""
+        from fire_tpu.pipeline.stream import FrameSequenceCapture
+
+        cap = FrameSequenceCapture(frames, fps=fps)
+        if not cap.isOpened():
+            log.error("process_frames received no frames.")
+            return
+        if batch_size > 0:
+            self._process_stream_batched(
+                cap, annotate, save_path, batch_size, duration, name,
+                stream_type="video",
+            )
+        else:
+            self._process_stream(cap, annotate, save_path, duration, name,
+                                 stream_type="video")
+
     def _process_stream_batched(
         self, cap, annotate: bool, save_path: Optional[str], batch_size: int,
         duration: int = 0, name: Optional[str] = None,

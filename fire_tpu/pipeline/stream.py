@@ -19,6 +19,55 @@ import numpy as np
 _SENTINEL = object()
 
 
+class FrameSequenceCapture:
+    """cv2.VideoCapture-compatible shim over in-RAM frames.
+
+    Lets every stream path (``process_video``/``process_frames``) run on
+    pre-decoded numpy frames — cameras that deliver raw buffers, test
+    harnesses, and decode-excluded benchmarking.  Implements the subset
+    of the VideoCapture API the pipeline touches: ``read``, ``get``,
+    ``isOpened``, ``release``.
+    """
+
+    _PROPS = {"CAP_PROP_FPS": 5, "CAP_PROP_FRAME_WIDTH": 3,
+              "CAP_PROP_FRAME_HEIGHT": 4}
+
+    def __init__(self, frames, fps: float = 30.0):
+        self._frames = iter(frames)
+        try:
+            self._first = next(self._frames)
+        except StopIteration:
+            self._first = None
+        self._hw = self._first.shape[:2] if self._first is not None else (0, 0)
+        self.fps = fps
+
+    def isOpened(self) -> bool:  # noqa: N802 - cv2 API parity
+        return self._hw != (0, 0)
+
+    def read(self):
+        if self._first is not None:
+            f, self._first = self._first, None
+            return True, f
+        try:
+            return True, next(self._frames)
+        except StopIteration:
+            return False, None
+
+    def get(self, prop) -> float:
+        import cv2
+
+        if prop == cv2.CAP_PROP_FPS:
+            return float(self.fps)
+        if prop == cv2.CAP_PROP_FRAME_WIDTH:
+            return float(self._hw[1])
+        if prop == cv2.CAP_PROP_FRAME_HEIGHT:
+            return float(self._hw[0])
+        return 0.0
+
+    def release(self) -> None:
+        self._frames = iter(())
+
+
 class PrefetchReader:
     """Background-thread frame reader over a cv2.VideoCapture."""
 

@@ -237,6 +237,48 @@ def test_encrypted_end_to_end(tmp_path):
     assert fr2.gallery.labels == [label]
 
 
+def test_process_frames_in_ram_source(tmp_path):
+    """process_frames: pre-decoded in-RAM frames run the identical
+    batched stream loop (annotate + write + enroll) with no video file
+    (VERDICT r3 #7 bench surface; FrameSequenceCapture shim)."""
+    import cv2
+    from tests.test_batch_engine import _fake_engine, _frame
+
+    eng = _fake_engine()
+    eng.detect_faces = lambda img: []
+    eng.extract_faces = lambda img, align=True: []
+    fr = FaceRecognition(
+        detector_type="yunet", encoder_model_type="128",
+        similarity_threshold=0.7, unknown_trigger_count=1,
+        detection_interval=1, enable_logging=False,
+        storage_root=str(tmp_path / "storage"), engine=eng,
+        tracker_cfg=TrackerConfig(),
+    )
+    out_path = str(tmp_path / "out.avi")
+    # a generator source: 10 frames with one face throughout
+    fr.process_frames(
+        (_frame([((10, 20, 16, 16), 4)]) for _ in range(10)),
+        annotate=True, save_path=out_path, batch_size=4,
+    )
+    assert fr.gallery.count == 1  # identity enrolled through the loop
+    fr.close()
+    cap = cv2.VideoCapture(out_path)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 10  # all real frames written, pad frames dropped
+
+    # empty source: clean no-op
+    fr2 = FaceRecognition(
+        detector_type="yunet", encoder_model_type="128",
+        enable_logging=False, storage_root=str(tmp_path / "s2"), engine=eng,
+        tracker_cfg=TrackerConfig(),
+    )
+    fr2.process_frames(iter(()), batch_size=4)
+    fr2.close()
+
+
 def test_batched_video_encrypted_output(tmp_path):
     """--password with --batch_size N must encrypt the output video via
     the temp-file flow, exactly like the classic path
