@@ -208,7 +208,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             )
     elif args.mode == "webcam":
         face_recog.process_webcam(
-            annotate=args.annotate, save_path=args.save, name=args.label
+            annotate=args.annotate, save_path=args.save, name=args.label,
+            batch_size=args.batch_size,
         )
 
     if args.label:

@@ -146,6 +146,15 @@ def main() -> None:
     ap.add_argument("--video", default=None,
                     help="reuse an existing rendered video + GT (skip render)")
     ap.add_argument("--seed", type=int, default=0)
+    # A/B surface for the reference's threshold-merge failure mode
+    # (VERDICT r3 #6): the 0.7 accept threshold can merge two GT
+    # identities into one label when an imposter similarity lands just
+    # above it (face_recognition.py:342-367 has the same failure).
+    ap.add_argument("--similarity_threshold", type=float, default=0.7,
+                    help="accept/dedup threshold (reference wiring: 0.7)")
+    ap.add_argument("--unknown_trigger_count", type=int, default=1,
+                    help="frames of evidence averaged before enrolling "
+                         "(reference CLI wiring: 1)")
     args = ap.parse_args()
 
     from fire_tpu.pipeline.recognizer import FaceRecognition
@@ -169,8 +178,8 @@ def main() -> None:
     fr = FaceRecognition(
         detector_type=args.detector,
         encoder_model_type=args.encoder,
-        similarity_threshold=0.7,
-        unknown_trigger_count=1,
+        similarity_threshold=args.similarity_threshold,
+        unknown_trigger_count=args.unknown_trigger_count,
         detection_interval=args.detection_interval,
         enable_logging=False,
         storage_root=os.path.join(tmp, "storage"),

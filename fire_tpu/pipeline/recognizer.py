@@ -1083,6 +1083,8 @@ class FaceRecognition:
             )
             n_real = len(caps)
             writers = [None] * n_real
+            out_paths = [None] * n_real
+            temp_paths = [None] * n_real
             fps = caps[0].get(cv2.CAP_PROP_FPS) or 30
             if fps == 0:
                 fps = 30
@@ -1092,7 +1094,17 @@ class FaceRecognition:
                 for i in range(n_real):
                     out_p = f"{stem}_stream{i}{ext or '.avi'}"
                     _ensure_parent_dir(out_p)
-                    writers[i] = cv2.VideoWriter(out_p, fourcc, fps, wh)
+                    out_paths[i] = out_p
+                    if self.encryptor:
+                        # encrypted-at-rest outputs: write plaintext to a
+                        # temp file, encrypt to the final path at close —
+                        # the same flow as the single-stream paths
+                        # (face_recognition.py:750-758,810-821)
+                        fd, temp_paths[i] = tempfile.mkstemp(suffix=".avi")
+                        os.close(fd)
+                        writers[i] = cv2.VideoWriter(temp_paths[i], fourcc, fps, wh)
+                    else:
+                        writers[i] = cv2.VideoWriter(out_p, fourcc, fps, wh)
 
             self.timer = StageTimer()
             self.timer.start()
@@ -1147,6 +1159,14 @@ class FaceRecognition:
                             annotate_faces(frame, faces, with_confidence=True)
                             if annotate else frame
                         )
+                        if self.show:
+                            cv2.imshow(
+                                f"Face Recognition - Stream {i}",
+                                resize_frame_to_screen(annotated),
+                            )
+                            if cv2.waitKey(1) & 0xFF == ord("q"):
+                                log.info("User requested to quit video processing.")
+                                return False
                         if writers[i] is not None:
                             writers[i].write(annotated)
                 if duration > 0 and (time.time() - self.timer.start_time) >= duration:
@@ -1171,19 +1191,46 @@ class FaceRecognition:
                 r.close()
             for c in caps:
                 c.release()
-            for wtr in locals().get("writers", []):
-                if wtr is not None:
-                    wtr.release()
+            for i, wtr in enumerate(locals().get("writers", [])):
+                if wtr is None:
+                    continue
+                wtr.release()
+                tmp_p = locals().get("temp_paths", [None] * (i + 1))[i]
+                out_p = locals().get("out_paths", [None] * (i + 1))[i]
+                if self.encryptor and tmp_p and out_p:
+                    try:
+                        with open(tmp_p, "rb") as f:
+                            self.encryptor.encrypt_and_write(out_p, f.read())
+                        os.remove(tmp_p)
+                        log.info("Encrypted video saved to %s", out_p)
+                    except Exception as e:
+                        log.error("Error during encryption of video: %s", e)
+                elif out_p:
+                    log.info("Annotated video saved to %s", out_p)
+            if self.show:
+                cv2.destroyAllWindows()
 
     def process_webcam(
         self, annotate: bool = True, save_path: Optional[str] = None,
-        duration: int = 0, name: Optional[str] = None,
+        duration: int = 0, name: Optional[str] = None, batch_size: int = 0,
     ) -> None:
+        """``batch_size > 0`` routes the webcam through the batched
+        device pipeline (B frames per step — throughput over latency:
+        results trail the live feed by up to 2·B frames from the
+        submit/collect pipelining); 0 keeps the per-frame path, the
+        reference's behavior (face_recognition.py:836-854)."""
         cap = cv2.VideoCapture(0)
         if not cap.isOpened():
             log.error("Cannot open webcam.")
             return
-        self._process_stream(cap, annotate, save_path, duration, name, stream_type="webcam")
+        if batch_size > 0:
+            self._process_stream_batched(
+                cap, annotate, save_path, batch_size, duration, name,
+                stream_type="webcam",
+            )
+        else:
+            self._process_stream(cap, annotate, save_path, duration, name,
+                                 stream_type="webcam")
 
     # -------------------------------------------------------------- close --
 

@@ -78,6 +78,41 @@ def test_process_videos_shared_gallery(fr, tmp_path):
     assert 1 <= fr.gallery.count <= 4
 
 
+def test_process_videos_encrypted_outputs(tmp_path):
+    """--password + --inputs: every per-stream output is encrypted at
+    rest via the temp-file flow, exactly like the single-stream paths
+    (VERDICT r3 #10 surface completion)."""
+    from tests.test_batch_engine import _fake_engine
+    from fire_tpu.gallery.crypto import Encryptor
+
+    eng = _fake_engine()
+    eng.detect_faces = lambda img: []
+    eng.extract_faces = lambda img, align=True: []
+    fr = FaceRecognition(
+        detector_type="yunet", encoder_model_type="128",
+        similarity_threshold=0.7, unknown_trigger_count=1,
+        detection_interval=1, enable_logging=False,
+        storage_root=str(tmp_path / "storage"),
+        encryption_password="s3cret",
+        engine=eng, tracker_cfg=TrackerConfig(),
+    )
+    frames = [_scene_frame([]) for _ in range(8)]
+    va, vb = str(tmp_path / "a.avi"), str(tmp_path / "b.avi")
+    _write_video(va, frames)
+    _write_video(vb, frames)
+    out = str(tmp_path / "out.avi")
+    fr.process_videos([va, vb], annotate=True, save_path=out, batch_size=4)
+    fr.close()
+
+    for s in range(2):
+        p = str(tmp_path / f"out_stream{s}.avi")
+        assert os.path.exists(p)
+        with open(p, "rb") as f:
+            blob = f.read()
+        assert not blob.startswith(b"RIFF")  # encrypted on disk
+        assert Encryptor("s3cret").decrypt_data(blob).startswith(b"RIFF")
+
+
 def test_process_videos_resolution_mismatch_rejected(fr, tmp_path):
     frames_a = [_scene_frame([]) for _ in range(4)]
     big = [np.zeros((96, 96, 3), np.uint8) for _ in range(4)]
