@@ -1,0 +1,200 @@
+"""Stage-level profile + MFU of the batched pipeline step (VERDICT r3 #5).
+
+Times the FULL fused B-frame step (the bench headline's unit of work),
+then each stage compiled separately at the same shapes — detector
+(letterbox+CNN+decode+NMS, vmapped), encoder (fused crop+FaceNet-512),
+gallery top-1 (Pallas kernel), tracker scan (KF+LAP over the batch) —
+and reports per-stage ms, the fusion gain, XLA's FLOP estimate, and an
+MFU figure against the chip's bf16 peak.
+
+Run on the real chip:
+    python tools/profile_step.py [--batch 256] [--trace /tmp/trace_dir]
+
+One JSON line on stdout; human-readable breakdown on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fire_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np
+
+# TPU v5e (v5 lite): 197 TFLOP/s bf16 peak per chip
+PEAK_BF16_FLOPS = 197e12
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _time_fn(fn, args, n=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _flops(fn, *args):
+    """XLA's FLOP estimate for the compiled fn at these shapes."""
+    import jax
+
+    try:
+        an = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception as e:  # pragma: no cover - analysis is best-effort
+        _log(f"cost_analysis failed: {e}")
+        return 0.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--trace", default=None,
+                    help="also write a jax.profiler trace to this dir")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fire_tpu.config import RecognizerConfig, TrackerConfig
+    from fire_tpu.gallery.index import DeviceGallery
+    from fire_tpu.ops.gallery_match import l2_normalize
+    from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize_mm
+    from fire_tpu.pipeline.batch_engine import BatchStreamEngine, _track_scan
+    from fire_tpu.pipeline.engine import DeviceEngine
+
+    B = args.batch
+    _log(f"backend: {jax.devices()}")
+    np.asarray(jax.device_put(np.zeros(4, np.float32)))  # d2h channel warmup
+
+    cfg = RecognizerConfig(
+        detector_type="yunet", encoder_model_type="512",
+        similarity_threshold=0.7, unknown_trigger_count=1,
+        weights_dir=None,
+    ).with_embedding_dim()
+    eng = DeviceEngine(cfg)
+    gal = DeviceGallery(512, capacity=100_000)
+    rng = np.random.default_rng(0)
+    rows = rng.standard_normal((99_900, 512)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    gal.load_rows((i + 1, f"p{i}", rows[i].tobytes()) for i in range(rows.shape[0]))
+
+    frames = jax.device_put(
+        rng.integers(0, 255, (B, 1080, 1920, 3), np.uint8)
+    )
+    jax.block_until_ready(frames)
+
+    # ---- full fused step ----
+    bse = BatchStreamEngine(eng, gal, cfg)
+    k = bse.encode_k
+    step = bse._step_cache.setdefault((1080, 1920, B), bse._build_step((1080, 1920), B))
+    gal_op = gal.gal_matmul
+    count = jnp.asarray(gal.count, jnp.int32)
+
+    def full(frames):
+        new_state, packed = step(eng.det_vars, eng.enc_vars, gal_op, count,
+                                 bse.state, frames)
+        return packed
+
+    t_full = _time_fn(full, (frames,))
+    _log(f"full step B={B}: {t_full*1e3:.1f} ms -> {B/t_full:.0f} fps")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                jax.block_until_ready(full(frames))
+        _log(f"profiler trace written to {args.trace}")
+
+    # ---- stages compiled separately (same shapes as inside the step) ----
+    det_body = eng._build_detect((1080, 1920)).__wrapped__
+    det_stage = jax.jit(lambda v, f: jax.vmap(lambda x: det_body(v, x))(f))
+    t_det = _time_fn(det_stage, (eng.det_vars, frames))
+
+    size = cfg.engine.encode_size
+    boxes = jnp.tile(jnp.asarray([[10.0, 10.0, 120.0, 120.0]]), (B, k, 1))
+
+    def enc_stage(enc_vars, frames, boxes):
+        crops = jax.vmap(lambda img, b: crop_and_resize_mm(img, b, size))(frames, boxes)
+        flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
+        return l2_normalize(eng._enc_fn(enc_vars, flat))
+
+    enc_stage_j = jax.jit(enc_stage)
+    t_enc = _time_fn(enc_stage_j, (eng.enc_vars, frames, boxes))
+
+    q = jax.device_put(rows[: B * k].copy())
+    try:
+        from fire_tpu.ops.pallas_topk import pallas_cosine_top1
+
+        gal_stage = jax.jit(lambda q, g: pallas_cosine_top1(q, g, count))
+        t_gal = _time_fn(gal_stage, (q.astype(jnp.float32), gal_op))
+        gal_kind = "pallas_top1"
+    except Exception as e:
+        _log(f"pallas stage skipped ({e}); XLA matmul+top_k")
+        from fire_tpu.ops.gallery_match import cosine_topk
+
+        valid = jnp.arange(gal_op.shape[0]) < count
+        gal_stage = jax.jit(lambda q, g: cosine_topk(q, g, valid, k=1))
+        t_gal = _time_fn(gal_stage, (q, gal_op))
+        gal_kind = "xla_topk"
+
+    tcfg = TrackerConfig()
+    emb = jnp.zeros((B, k, 512), jnp.float32)
+    mask = jnp.zeros((B, k), bool)
+    gid = jnp.zeros((B, k), jnp.int32)
+    sim = jnp.zeros((B, k), jnp.float32)
+    bx = jnp.zeros((B, k, 4), jnp.float32)
+
+    def scan_stage(state, bx, mask, gid, sim, emb):
+        new_state, res = _track_scan(state, bx, mask, gid, sim, emb,
+                                     tcfg, 0.7, 1)
+        return res.tid
+
+    scan_j = jax.jit(scan_stage)
+    t_scan = _time_fn(scan_j, (bse.state, bx, mask, gid, sim, emb))
+
+    # ---- FLOPs + MFU ----
+    fl_full = _flops(lambda f: step(eng.det_vars, eng.enc_vars, gal_op, count,
+                                    bse.state, f)[1], frames)
+    mfu = fl_full / t_full / PEAK_BF16_FLOPS if fl_full else 0.0
+
+    stages = {
+        "detector_ms": round(t_det * 1e3, 2),
+        "encoder_ms": round(t_enc * 1e3, 2),
+        f"gallery_{gal_kind}_ms": round(t_gal * 1e3, 2),
+        "tracker_scan_ms": round(t_scan * 1e3, 2),
+    }
+    sum_stages = t_det + t_enc + t_gal + t_scan
+    out = {
+        "batch": B,
+        "full_step_ms": round(t_full * 1e3, 2),
+        "fps": round(B / t_full, 1),
+        "stages_separate": stages,
+        "sum_stages_ms": round(sum_stages * 1e3, 2),
+        "fusion_gain_ms": round((sum_stages - t_full) * 1e3, 2),
+        "xla_flops_estimate": fl_full,
+        "mfu_vs_197T_bf16": round(mfu, 4),
+    }
+    for k_, v in out.items():
+        _log(f"  {k_}: {v}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
