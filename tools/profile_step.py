@@ -68,43 +68,65 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--trace", default=None,
                     help="also write a jax.profiler trace to this dir")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny models/shapes for a CPU smoke test of the "
+                         "profiler itself (numbers are meaningless)")
     args = ap.parse_args()
 
     import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
-    from fire_tpu.config import RecognizerConfig, TrackerConfig
+    from fire_tpu.config import EngineConfig, RecognizerConfig, TrackerConfig
     from fire_tpu.gallery.index import DeviceGallery
     from fire_tpu.ops.gallery_match import l2_normalize
     from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize_mm
     from fire_tpu.pipeline.batch_engine import BatchStreamEngine, _track_scan
     from fire_tpu.pipeline.engine import DeviceEngine
 
-    B = args.batch
+    B = 4 if args.tiny else args.batch
     _log(f"backend: {jax.devices()}")
     np.asarray(jax.device_put(np.zeros(4, np.float32)))  # d2h channel warmup
 
+    dim = 128 if args.tiny else 512
     cfg = RecognizerConfig(
-        detector_type="yunet", encoder_model_type="512",
+        detector_type="yunet",
+        encoder_model_type="128" if args.tiny else "512",
         similarity_threshold=0.7, unknown_trigger_count=1,
         weights_dir=None,
+        engine=(EngineConfig(detect_size=(64, 64), encode_size=(96, 96))
+                if args.tiny else EngineConfig()),
     ).with_embedding_dim()
-    eng = DeviceEngine(cfg)
-    gal = DeviceGallery(512, capacity=100_000)
+    if args.tiny:
+        from fire_tpu.models.facenet import tiny_facenet
+        from fire_tpu.models.yunet import YuNet
+
+        eng = DeviceEngine(cfg, detector=YuNet(width=8, dtype=jnp.float32),
+                           encoder=tiny_facenet(dim, dtype=jnp.float32))
+        n_rows, capacity = 1000, 2048
+        frame_hw = (64, 64)
+    else:
+        eng = DeviceEngine(cfg)
+        n_rows, capacity = 99_900, 100_000
+        frame_hw = (1080, 1920)
+    gal = DeviceGallery(dim, capacity=capacity)
     rng = np.random.default_rng(0)
-    rows = rng.standard_normal((99_900, 512)).astype(np.float32)
+    rows = rng.standard_normal((n_rows, dim)).astype(np.float32)
     rows /= np.linalg.norm(rows, axis=1, keepdims=True)
     gal.load_rows((i + 1, f"p{i}", rows[i].tobytes()) for i in range(rows.shape[0]))
 
     frames = jax.device_put(
-        rng.integers(0, 255, (B, 1080, 1920, 3), np.uint8)
+        rng.integers(0, 255, (B, *frame_hw, 3), np.uint8)
     )
     jax.block_until_ready(frames)
 
     # ---- full fused step ----
     bse = BatchStreamEngine(eng, gal, cfg)
     k = bse.encode_k
-    step = bse._step_cache.setdefault((1080, 1920, B), bse._build_step((1080, 1920), B))
+    step = bse._step_cache.setdefault((*frame_hw, B), bse._build_step(frame_hw, B))
     gal_op = gal.gal_matmul
     count = jnp.asarray(gal.count, jnp.int32)
 
@@ -123,7 +145,7 @@ def main():
         _log(f"profiler trace written to {args.trace}")
 
     # ---- stages compiled separately (same shapes as inside the step) ----
-    det_body = eng._build_detect((1080, 1920)).__wrapped__
+    det_body = eng._build_detect(frame_hw).__wrapped__
     det_stage = jax.jit(lambda v, f: jax.vmap(lambda x: det_body(v, x))(f))
     t_det = _time_fn(det_stage, (eng.det_vars, frames))
 
@@ -155,7 +177,7 @@ def main():
         gal_kind = "xla_topk"
 
     tcfg = TrackerConfig()
-    emb = jnp.zeros((B, k, 512), jnp.float32)
+    emb = jnp.zeros((B, k, dim), jnp.float32)
     mask = jnp.zeros((B, k), bool)
     gid = jnp.zeros((B, k), jnp.int32)
     sim = jnp.zeros((B, k), jnp.float32)
