@@ -185,10 +185,17 @@ def test_cli_autoloads_trained_defaults(monkeypatch, tmp_path):
               "--no_default_weights"])
     assert made[-1].engine.loaded == []
 
-    # retinaface at the default 1024 refuses the 512-trained weights
+    # retinaface with NO explicit size and no usable reference ONNX:
+    # the CLI sizes the engine for the committed 512-trained weights
+    # (VERDICT r3 #3 "wire as the trained default") and loads them
     cli.main(["--mode", "image", "--input", img, "--detector", "retinaface"])
+    det = [p for k, p in made[-1].engine.loaded if k == "det"]
+    assert det and det[0].endswith("retinaface_synth.msgpack")
+    # an explicit non-512 size refuses the 512-trained weights
+    cli.main(["--mode", "image", "--input", img, "--detector", "retinaface",
+              "--retinaface_size", "1024"])
     assert all(k != "det" for k, _ in made[-1].engine.loaded)
-    # ... but --retinaface_size 512 loads them
+    # ... and --retinaface_size 512 loads them explicitly
     cli.main(["--mode", "image", "--input", img, "--detector", "retinaface",
               "--retinaface_size", "512"])
     det = [p for k, p in made[-1].engine.loaded if k == "det"]
