@@ -48,7 +48,7 @@ FACES_PER_FRAME = 4
 CHURN_EVERY = 50
 
 
-def _init_backend_with_retry(max_tries: int = 5, delay_s: float = 60.0):
+def _init_backend_with_retry(max_tries: int = 8, delay_s: float = 90.0):
     """Initialize the JAX backend, retrying on transient tunnel outages.
 
     The dev TPU is reached through a tunnel that occasionally refuses the
