@@ -90,6 +90,23 @@ def main() -> None:
     np.asarray(jax.device_put(np.zeros(4, np.float32)))
     _log("d2h ready")
 
+    # Measure the tunnel's host→device bandwidth up front and scale the
+    # H2D-dominated legs to it: the dev tunnel has been observed
+    # anywhere from ~45 MB/s down to ~3 MB/s, and at the low end the
+    # fixed-size e2e legs would blow any reasonable driver timeout
+    # while measuring nothing but the tunnel.
+    probe = np.random.default_rng(1).integers(0, 255, (1080, 1920, 3), np.uint8)
+    jax.block_until_ready(jax.device_put(probe))  # warm the path once
+    t0 = time.time()
+    for _ in range(2):
+        jax.block_until_ready(jax.device_put(probe))
+    h2d_mbps = 2 * probe.nbytes / (time.time() - t0) / 1e6
+    frame_mb = probe.nbytes / 1e6
+    # frames per ~75 s of tunnel H2D, in [16, requested]
+    def _h2d_budget(requested: int, budget_s: float = 75.0) -> int:
+        return max(16, min(requested, int(budget_s * h2d_mbps / frame_mb)))
+    _log(f"tunnel H2D: {h2d_mbps:.1f} MB/s")
+
     storage = tempfile.mkdtemp(prefix="fire_bench_")
     fr = FaceRecognition(
         detector_type="yunet",
@@ -169,10 +186,16 @@ def main() -> None:
         _log(f"B={B} trial fps: {spread[B]}")
         best = max(best, max(trial_fps))
 
-        # end-to-end including tunnel H2D (reference only)
-        t0 = time.time()
-        res = bse.process_batch(np.ascontiguousarray(batch_np))
-        _log(f"B={B} incl. tunnel H2D: {B / (time.time() - t0):.1f} fps")
+        # end-to-end including tunnel H2D (reference-only log line;
+        # skipped when the measured tunnel can't move B frames in ~30 s
+        # — on a slow tunnel day it times the tunnel, not the step, and
+        # a different batch size would force a recompile)
+        if _h2d_budget(B, budget_s=30.0) >= B:
+            t0 = time.time()
+            res = bse.process_batch(np.ascontiguousarray(batch_np))
+            _log(f"B={B} incl. tunnel H2D: {B / (time.time() - t0):.1f} fps")
+        else:
+            _log(f"B={B} incl.-H2D leg skipped (tunnel {h2d_mbps:.1f} MB/s)")
 
     fps = best
 
@@ -205,7 +228,9 @@ def main() -> None:
     # ~45 MB/s H2D (a ~200-600x artifact vs a production host's PCIe),
     # so it is reported alongside, not as, the headline.
     e2e_fps = 0.0
-    n_e2e = 128
+    # scale the leg to the measured tunnel: keep H2D ≈≤75 s, round to
+    # the batch size so only one step shape compiles
+    n_e2e = max(64, (_h2d_budget(128) // 64) * 64)
     try:
         import cv2
 
@@ -231,8 +256,8 @@ def main() -> None:
     # H2D per batch — that artifact is measured separately right after,
     # and an H2D-excluded figure is derived so the ≥878 FPS end-to-end
     # story is demonstrated modulo the tunnel.
-    inram_fps = inram_ex_h2d_fps = h2d_mbps = 0.0
-    n_ir = 256
+    inram_fps = inram_ex_h2d_fps = 0.0
+    n_ir = max(64, (_h2d_budget(256) // 64) * 64)
     try:
         t0 = time.time()
         fr.process_frames(

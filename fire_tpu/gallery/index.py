@@ -403,7 +403,16 @@ class DeviceGallery:
             log.info("Appended %d rows to gallery journal.", len(rows))
             return
         self._flush_pending()
-        mat = np.asarray(self._gal[: self.count])
+        if self._fresh_start == 0 and len(self._fresh_host) >= self.count:
+            # every live row has a host copy (fresh bulk hydrate and/or
+            # adds since startup) — compact without a device readback
+            mat = (
+                np.stack(self._fresh_host[: self.count])
+                if self.count
+                else np.zeros((0, self.embedding_dim), np.float32)
+            )
+        else:
+            mat = np.asarray(self._gal[: self.count])  # one D2H
         buf = io.BytesIO()
         np.save(buf, mat, allow_pickle=False)
         self._write(self.index_path, buf.getvalue())
@@ -469,17 +478,23 @@ class DeviceGallery:
             log.warning("Gallery capacity cap: loading %d of %d rows.", take, len(vecs))
         self._flush_pending()
         start = self.count
-        gal = np.array(self._gal)  # mutable copy (asarray view is read-only)
-        gal[start : start + take] = np.stack(vecs[:take])
-        self._gal = jnp.asarray(gal)
-        self._gal16 = self._gal.astype(jnp.bfloat16)
+        block = np.stack(vecs[:take])
+        # Device-side scatter: H2D of the NEW rows only.  The previous
+        # implementation round-tripped the whole 200 MB matrix through
+        # the host (D2H + H2D) — minutes over a slow dev tunnel.
+        self._gal, self._gal16 = _set_rows(
+            self._gal, self._gal16, start, jax.device_put(block)
+        )
         self.labels.extend(labels[:take])
         self.db_ids.extend(db_ids[:take])
-        # bulk-hydrated rows come from SQLite (already durable): don't
-        # hold 100k host copies — incremental saves that would need
-        # them fall back to a device readback
-        self._fresh_host = []
-        self._fresh_start = self.count
+        # Keep host copies (≤205 MB at the 100k cap): journal appends
+        # and the next compaction read these instead of a device
+        # readback; compaction drops them again.
+        if self._fresh_start + len(self._fresh_host) == start:
+            self._fresh_host.extend(block)
+        else:
+            self._fresh_host = list(block)
+            self._fresh_start = start
         log.info("Loaded %d embeddings into device gallery.", take)
 
     load_embeddings_into_hnswlib = load_rows
