@@ -155,7 +155,15 @@ def main() -> None:
     ap.add_argument("--unknown_trigger_count", type=int, default=1,
                     help="frames of evidence averaged before enrolling "
                          "(reference CLI wiring: 1)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) before any "
+                         "device work — keeps A/B sweeps off a busy chip")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from fire_tpu.pipeline.recognizer import FaceRecognition
     from fire_tpu.train.scenes import make_identities, render_scene_video

@@ -170,4 +170,17 @@ def decode_blazeface(
         boxes, prob, nms_threshold, max_out=max_faces,
         score_threshold=conf_threshold, pre_top_k=256,
     )
-    return pad_detections(fbox.xyxy_to_xywh(boxes), lms, prob, keep_idx, keep_mask)
+    # MediaPipe resolves overlaps with *weighted* NMS (the C++ graph's
+    # non_max_suppression_calculator in WEIGHTED mode): the emitted
+    # location is the score-weighted mean of the overlapping cluster.
+    # Plain argmax NMS was the deviation; blending also averages out
+    # per-anchor regression noise (duplicated same-centre anchors agree
+    # exactly, so GT round-trips stay bit-exact — tests/test_detect_blaze).
+    bb, ll = fbox.weighted_blend(
+        boxes, prob, keep_idx, keep_mask, nms_threshold, conf_threshold,
+        payload=lms,
+    )
+    b = fbox.xyxy_to_xywh(bb) * keep_mask[:, None]
+    l = ll * keep_mask[:, None, None]
+    s = prob[keep_idx] * keep_mask
+    return Detections(b, l, s, keep_mask)

@@ -242,6 +242,20 @@ def main() -> None:
     import logging
     import time
 
+    def _save_vars(state, path, serialization, log, tag):
+        import os
+
+        out_vars = {
+            "params": jax.tree.map(np.asarray, state[0]),
+            "batch_stats": jax.tree.map(np.asarray, state[1]),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(out_vars))
+        os.replace(tmp, path)
+        log.info("trained RetinaFace variables written to %s (%s)",
+                 path, tag)
+
     ap = argparse.ArgumentParser(description="FIRE-TPU RetinaFace training")
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=8)
@@ -261,6 +275,10 @@ def main() -> None:
                     help="face size in SOURCE px (default maps to 32-288 "
                          "px on the 512 input at the default scene_hw)")
     ap.add_argument("--out", default="trained_retinaface.msgpack")
+    ap.add_argument("--save_every", type=int, default=500,
+                    help="periodic checkpoint interval (steps); the "
+                         "final weights always overwrite --out at the "
+                         "end of the schedule")
     ap.add_argument("--eval_scenes", type=int, default=48)
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
@@ -352,15 +370,12 @@ def main() -> None:
                 step, float(loss), m["cls"], m["box"], m["kps"],
                 step * args.batch / (time.time() - t0), pool.generated,
             )
+        if args.save_every and step % args.save_every == 0:
+            _save_vars(state, args.out, serialization, log,
+                       tag=f"step {step}")
     pool.stop()
 
-    out_vars = {
-        "params": jax.tree.map(np.asarray, state[0]),
-        "batch_stats": jax.tree.map(np.asarray, state[1]),
-    }
-    with open(args.out, "wb") as f:
-        f.write(serialization.to_bytes(out_vars))
-    log.info("trained RetinaFace variables written to %s", args.out)
+    _save_vars(state, args.out, serialization, log, tag="final")
 
     if args.eval_scenes:
         from fire_tpu.config import EngineConfig, RecognizerConfig
