@@ -126,21 +126,39 @@ def blaze_targets(boxes, lms, valid):
 
 def blaze_detection_loss(scores, regs, targets, box_weight: float = 2.0,
                          kps_weight: float = 0.25, alpha: float = 0.75,
-                         gamma: float = 2.0, reg_scale: float = 8.0):
-    """Focal BCE on the 896 anchor scores + smooth-L1 regression.
+                         gamma: float = 2.0, reg_scale: float = 8.0,
+                         cls_loss: str = "ohem",
+                         neg_pos_ratio: float = 7.0):
+    """Score loss on the 896 anchors + smooth-L1 regression.
 
     ``scores``: (B, 896) raw logits (decode_blazeface sigmoids them);
     ``regs``: (B, 896, 16) in input pixels.  Regression diffs are
     scaled by ``reg_scale`` px so smooth-L1's quadratic zone covers
     sub-cell errors.
+
+    ``cls_loss="ohem"`` (default) mines the per-image hardest
+    ``neg_pos_ratio × n_pos`` negatives (min 32) with full-weight BCE —
+    the round-4 fix for the focal alpha=0.75 configuration whose weak
+    0.25·p² negative term let background score past the production
+    confidence thresholds (see retina_detection_loss).  ``"focal"``
+    restores the round-3 behaviour.
     """
     import jax.numpy as jnp
 
     cls_t, reg_t, wgt, reg_mask = targets
     p = jnp.clip(jax_sigmoid(scores), 1e-6, 1.0 - 1e-6)
-    pos_l = -alpha * cls_t * (1.0 - p) ** gamma * jnp.log(p)
-    neg_l = -(1.0 - alpha) * (1.0 - cls_t) * p**gamma * jnp.log(1.0 - p)
-    cls_l = ((pos_l + neg_l) * wgt).sum()
+    if cls_loss == "ohem":
+        pos_sum = (-cls_t * jnp.log(p) * wgt).sum()
+        neg_raw = -(1.0 - cls_t) * jnp.log(1.0 - p) * wgt
+        neg_sorted = -jnp.sort(-neg_raw, axis=1)
+        n_pos_i = (cls_t * wgt).sum(axis=1, keepdims=True)
+        k_i = jnp.maximum(neg_pos_ratio * n_pos_i, 32.0)
+        ranks = jnp.arange(neg_sorted.shape[1], dtype=jnp.float32)[None]
+        cls_l = pos_sum + (neg_sorted * (ranks < k_i)).sum()
+    else:
+        pos_l = -alpha * cls_t * (1.0 - p) ** gamma * jnp.log(p)
+        neg_l = -(1.0 - alpha) * (1.0 - cls_t) * p**gamma * jnp.log(1.0 - p)
+        cls_l = ((pos_l + neg_l) * wgt).sum()
 
     d = (regs - reg_t) / reg_scale
     a = jnp.abs(d)
@@ -160,7 +178,7 @@ def jax_sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
-def make_blaze_pool_train_step(model, optimizer):
+def make_blaze_pool_train_step(model, optimizer, loss_kwargs=None):
     """Jitted ``(state, pool_imgs u8, pool_boxes, pool_lms, pool_valid,
     idx) → (state, loss, metrics)`` sampling from a device-resident
     scene pool (same H2D-free scheme as detect.make_pool_train_step).
@@ -183,7 +201,8 @@ def make_blaze_pool_train_step(model, optimizer):
 
     def loss_fn(params, images, targets):
         scores, regs = model.apply({"params": params}, images)
-        return blaze_detection_loss(scores, regs, targets)
+        return blaze_detection_loss(scores, regs, targets,
+                                    **(loss_kwargs or {}))
 
     def step(state, pool_imgs, pool_boxes, pool_lms, pool_valid, idx):
         frames = pool_imgs[idx]
@@ -226,6 +245,13 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--identities", type=int, default=200)
+    ap.add_argument("--cls_loss", choices=("ohem", "focal"), default="ohem",
+                    help="score loss: hard-negative-mined BCE (default) "
+                         "or the round-3 focal BCE")
+    ap.add_argument("--neg_pos_ratio", type=float, default=7.0,
+                    help="OHEM negatives kept per positive (min 32/image)")
+    ap.add_argument("--alpha", type=float, default=0.75,
+                    help="focal positive weight (focal mode only)")
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--pool", type=int, default=1024)
     ap.add_argument("--gen_threads", type=int, default=6)
@@ -285,7 +311,12 @@ def main() -> None:
         optax.adamw(optax.cosine_decay_schedule(args.lr, args.steps, 0.05)),
     )
     state = (variables["params"], optimizer.init(variables["params"]))
-    step_fn = make_blaze_pool_train_step(model, optimizer)
+    step_fn = make_blaze_pool_train_step(
+        model, optimizer,
+        loss_kwargs={"cls_loss": args.cls_loss,
+                     "neg_pos_ratio": args.neg_pos_ratio,
+                     "alpha": args.alpha},
+    )
 
     rng = np.random.default_rng(args.seed + 7)
 
