@@ -81,8 +81,15 @@ def blaze_targets(boxes, lms, valid):
     tol_x = jnp.maximum(bw[..., None] / 4.0, cell[None, None, :] / 2.0)
     tol_y = jnp.maximum(bh[..., None] / 4.0, cell[None, None, :] / 2.0)
     pos = (dx <= tol_x) & (dy <= tol_y) & valid[..., None]
-    inbox = (dx <= bw[..., None] / 2.0) & (dy <= bh[..., None] / 2.0)
-    inbox = inbox & valid[..., None]
+    # Ignore band: only the ring just outside the positive tolerance
+    # stays unsupervised.  Round-4 lesson (see retina_targets): ignoring
+    # the whole in-box area left periphery anchors — whose regression is
+    # also untrained — free to score anything; at deploy they fired
+    # garbage boxes through the confidence threshold.  Anchors at a
+    # face's periphery now train as negatives.
+    ign_x = dx <= jnp.minimum(2.0 * tol_x, bw[..., None] / 2.0)
+    ign_y = dy <= jnp.minimum(2.0 * tol_y, bh[..., None] / 2.0)
+    inbox = ign_x & ign_y & valid[..., None]
 
     # per-anchor owner face = nearest centre among faces claiming it
     d2 = dx * dx + dy * dy

@@ -99,10 +99,20 @@ def retina_targets(boxes, lms, valid, hw: Tuple[int, int]):
         tol_x = jnp.maximum(bw[..., None] / 4.0, st / 2.0)[..., None, None]
         tol_y = jnp.maximum(bh[..., None] / 4.0, st / 2.0)[..., None, None]
         pos = (dx <= tol_x) & (dy <= tol_y) & size_ok[:, :, None, None, :]
+        # Ignore band: only anchors of (nearly) the right SIZE whose
+        # centre falls inside the face stay unsupervised.  Round-4
+        # lesson: ignoring every in-box anchor regardless of scale left
+        # e.g. 16 px stride-8 anchors under a 300 px face with zero
+        # score supervision AND untrained regression — at deploy they
+        # free-fired >0.9 and emitted small garbage boxes (IoU ~0.03
+        # with the face), the entire 611-FP / precision-0.13 failure.
+        # A wrong-scale anchor sees a patch of cheek texture; "no face
+        # of my size here" is a true negative, so it now trains as one.
+        size_near = (oct_d <= _SIZE_BAND + 0.4) & valid[..., None]
         inbox = (dx <= (bw / 2.0)[..., None, None, None]) & (
             dy <= (bh / 2.0)[..., None, None, None]
         )
-        inbox = inbox & valid[..., None, None, None]
+        inbox = inbox & size_near[:, :, None, None, :]
 
         d2 = dx * dx + dy * dy + oct_d[:, :, None, None, :] * 1e4
         d2 = jnp.where(pos, d2, jnp.inf)
