@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Restrict emitted results to a single identity")
     p.add_argument("--batch_size", type=int, default=0,
                    help="Video mode: frames per device step (0 = classic per-frame pipeline)")
+    p.add_argument("--encode_budget", type=int, default=0,
+                   help="Batched video mode: cap crop+encode+match at the batch's top-N "
+                        "detections by score (0 = encode every tracked slot). Set to "
+                        "expected faces/frame x batch_size to skip encoder work on pad slots")
     p.add_argument("--profile", type=str, default=None,
                    help="Write a jax.profiler trace to this directory (view with TensorBoard/Perfetto)")
     p.add_argument("--weights_dir", type=str, default="weights",
@@ -198,6 +202,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         trained_encoder=args.trained,
         trained_detector=args.trained_detector,
         engine_cfg=engine_cfg,
+        encode_budget=args.encode_budget or None,
     )
     if not args.no_default_weights:
         _load_trained_defaults(face_recog, args)

@@ -157,6 +157,15 @@ class RecognizerConfig:
     enable_logging: bool = True
     show: bool = False
     detection_interval: int = 3
+    # Batched-path encode budget: cap crop+encode+match work at the
+    # batch's top-N detections by score (None = encode every tracked
+    # slot).  Tracking capacity (encode_k per frame) is unaffected;
+    # budget-starved detections are tracked without an embedding this
+    # batch and encoded on a later sighting.  With a typical
+    # faces-per-frame ≪ encode_k, budget ≈ expected faces × batch
+    # reclaims the encoder time spent on pad slots (the encoder is
+    # ~48% of the fused step at B=256 — docs/DESIGN.md §3).
+    encode_budget: Optional[int] = None
     encryption_password: Optional[str] = None
     interested_label: Optional[str] = None
 

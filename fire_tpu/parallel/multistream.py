@@ -34,12 +34,14 @@ class MultiStreamEngine:
 
     def __init__(self, engine, gallery, cfg: RecognizerConfig, mesh: Mesh,
                  tracker_cfg: Optional[TrackerConfig] = None,
-                 encode_k: int = 8, detection_interval: int = 1):
+                 encode_k: int = 8, detection_interval: int = 1,
+                 encode_budget: Optional[int] = None):
         self.mesh = mesh
         self.n_streams = mesh.shape["dp"]
         self.inner = BatchStreamEngine(
             engine, gallery, cfg, tracker_cfg,
             encode_k=encode_k, detection_interval=detection_interval,
+            encode_budget=encode_budget,
         )
         self.cfg = cfg
         self.tcfg = self.inner.tcfg

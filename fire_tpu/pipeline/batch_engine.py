@@ -41,7 +41,7 @@ import numpy as np
 
 from fire_tpu.config import RecognizerConfig, TrackerConfig
 from fire_tpu.ops.gallery_match import l2_normalize
-from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize_mm
+from fire_tpu.ops.image import bgr_to_rgb, crop_and_resize_mm, crop_selected_rows
 from fire_tpu.track.sort import TrackTable, make_table, sort_step
 
 log = logging.getLogger(__name__)
@@ -112,16 +112,23 @@ def _track_scan(
     det_gid: jnp.ndarray,     # (B, K) best gallery row per detection
     det_sim: jnp.ndarray,     # (B, K)
     det_emb: jnp.ndarray,     # (B, K, D)
+    det_has_emb: jnp.ndarray,  # (B, K) detection carries an embedding
     tcfg: TrackerConfig,
     similarity_threshold: float,
     unknown_trigger: int,
 ) -> Tuple[StreamState, BatchResults]:
-    """Serial tracking over the frame batch with identity bookkeeping."""
+    """Serial tracking over the frame batch with identity bookkeeping.
+
+    ``det_has_emb`` decouples tracking from encoding: under an encode
+    budget a low-scoring detection may be tracked without an embedding
+    this batch — it must neither overwrite ``last_emb`` with zeros nor
+    advance the unknown streak (else a zero embedding could enroll).
+    """
 
     t_cap = state.table.x.shape[0]
 
     def step(carry: StreamState, frame):
-        boxes, mask, gids, sims, embs = frame
+        boxes, mask, gids, sims, embs, hembs = frame
         table, out = sort_step(carry.table, boxes, mask, tcfg)
 
         # exact provenance from the tracker: detection that updated or
@@ -129,9 +136,10 @@ def _track_scan(
         has_det = (out.src_det >= 0) & table.active
         det_for_track = jnp.clip(out.src_det, 0, boxes.shape[0] - 1)
 
+        has_emb = has_det & hembs[det_for_track]
         tgid = jnp.where(has_det, gids[det_for_track], -1)
         tsim = jnp.where(has_det, sims[det_for_track], 0.0)
-        temb = jnp.where(has_det[:, None], embs[det_for_track], carry.last_emb)
+        temb = jnp.where(has_emb[:, None], embs[det_for_track], carry.last_emb)
 
         # fresh slots (spawned or recycled) reset identity state
         fresh = table.tid != carry.table.tid
@@ -150,8 +158,9 @@ def _track_scan(
         # unknown streak: CONFIRMED sightings with an embedding but no
         # identity (the reference accumulates unknowns only for emitted
         # tracks, face_recognition.py:404-473); flag enrollment ONCE per
-        # track until the host resolves it
-        sighted = has_det & (gid < 0) & out.mask
+        # track until the host resolves it.  Budget-unencoded sightings
+        # don't count — enrollment must carry a real embedding.
+        sighted = has_emb & (gid < 0) & out.mask
         unk = jnp.where(sighted, unk + 1, unk)
         enroll = sighted & (unk >= unknown_trigger) & ~pending
         pending = pending | enroll
@@ -170,7 +179,8 @@ def _track_scan(
         return new_state, res
 
     state, (tid, boxes, gid, sim, mask, enroll, emb) = jax.lax.scan(
-        step, state, (det_boxes, det_mask, det_gid, det_sim, det_emb)
+        step, state,
+        (det_boxes, det_mask, det_gid, det_sim, det_emb, det_has_emb),
     )
 
     # compact the (rare) enrollment candidates to a fixed-size buffer
@@ -242,17 +252,30 @@ class BatchStreamEngine:
 
     def __init__(self, engine, gallery, cfg: RecognizerConfig,
                  tracker_cfg: Optional[TrackerConfig] = None,
-                 encode_k: int = 8, detection_interval: int = 1):
+                 encode_k: int = 8, detection_interval: int = 1,
+                 encode_budget: Optional[int] = None):
         """``detection_interval`` d>1 runs the detector CNN only on every
         d-th frame of a batch (frame-skip semantics,
         face_recognition.py:376-393) — the tracker coasts on UKF
         prediction between detections and the detector/encoder cost
-        drops by ~d×.  Batch size must be a multiple of d."""
+        drops by ~d×.  Batch size must be a multiple of d.
+
+        ``encode_budget`` caps crop+encode+match work per batch: the
+        batch's detections are ranked by detector score and only the
+        top ``encode_budget`` are cropped/encoded/matched (the rest are
+        still tracked, just without an embedding this batch — they get
+        encoded on a later sighting once they rank inside the budget).
+        ``encode_k`` stays the per-frame *tracking* capacity.  A 4-face
+        scene at encode_k=8 wastes half the encoder batch on pad slots;
+        budget = faces/frame × B reclaims it (the encoder is ~48% of
+        the fused step at B=256 — docs/DESIGN.md §3).  None = B·K
+        (every slot encoded, the pre-round-4 behaviour)."""
         self.engine = engine          # DeviceEngine (models + jits)
         self.gallery = gallery        # DeviceGallery
         self.cfg = cfg
         self.tcfg = (tracker_cfg or TrackerConfig())
         self.encode_k = encode_k
+        self.encode_budget = encode_budget
         self.interval = max(1, detection_interval)
         self.state = make_stream_state(self.tcfg, cfg.embedding_dim)
         self._step_cache = {}
@@ -262,6 +285,7 @@ class BatchStreamEngine:
 
     def _build_step(self, frame_hw, batch: int):
         cfg, tcfg, k_enc = self.cfg, self.tcfg, self.encode_k
+        budget = self.encode_budget
         eng = self.engine
         detector_fn = eng._build_detect(frame_hw).__wrapped__  # unjitted body
         thr = cfg.similarity_threshold
@@ -294,22 +318,36 @@ class BatchStreamEngine:
             # emitting fewer than k_enc slots must not misfold the
             # encoder output batch)
             k = min(k_enc, dets.mask.shape[1])
-            order = jnp.argsort(-jnp.where(dets.mask, dets.scores, -1.0), axis=1)
+            scores_raw = jnp.where(dets.mask, dets.scores.astype(jnp.float32), -1.0)
+            order = jnp.argsort(-scores_raw, axis=1)
             pick = order[:, :k]                                   # (n_det, K)
             boxes = jnp.take_along_axis(dets.boxes_xywh, pick[..., None], axis=1)
             mask = jnp.take_along_axis(dets.mask, pick, axis=1)
 
-            # ---- encode every picked face in one FaceNet pass
-            # (crop directly from uint8; bf16 cast happens in the matmul
-            # resampler — no full-res f32 intermediate)
-            crops = jax.vmap(lambda img, b: crop_and_resize_mm(img, b, size))(
-                det_frames, boxes
-            )
-            flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
+            # ---- encode in one FaceNet pass (crop directly from uint8;
+            # bf16 cast happens in the resampler — no full-res f32
+            # intermediate).  Under an encode budget the batch's
+            # detections are first compacted to the top-M by score: the
+            # crop, the encoder and the gallery match then run on M
+            # inputs instead of B·K pad-heavy slots (the encoder is the
+            # step's largest stage — docs/DESIGN.md §3 profile).
+            m = n_det * k if budget is None else max(1, min(budget, n_det * k))
             enc_fn = getattr(eng, "_enc_fn", None) or eng.encoder.apply
-            emb = enc_fn(enc_vars, flat)
-            emb = l2_normalize(emb).reshape(n_det, k, -1)
-            emb = emb * mask[..., None]
+            if m < n_det * k:
+                scores = jnp.take_along_axis(scores_raw, pick, axis=1)
+                flat_scores = jnp.where(mask, scores, -1.0).reshape(-1)
+                top_s, top_idx = jax.lax.top_k(flat_scores, m)
+                sel_valid = top_s >= 0.0
+                sel_frame = (top_idx // k).astype(jnp.int32)
+                sel_boxes = boxes.reshape(-1, 4)[top_idx]
+                crops = crop_selected_rows(det_frames, sel_frame, sel_boxes, size)
+            else:
+                top_idx = None
+                crops = jax.vmap(lambda img, b: crop_and_resize_mm(img, b, size))(
+                    det_frames, boxes
+                )
+            flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
+            emb_m = l2_normalize(enc_fn(enc_vars, flat).astype(jnp.float32))
 
             # ---- match all embeddings in one gallery pass.  On real
             # TPU the fused Pallas top-1 runs in-step: with the
@@ -317,19 +355,39 @@ class BatchStreamEngine:
             # matmul+top_k by ~2x in compute at this scale (B=1024
             # queries vs 100k rows: 31.2 vs 34.4 ms/call incl. the
             # ~27 ms dispatch floor — bench_gallery.py, v5e).
-            flat_emb = emb.reshape(n_det * k, -1)
             if _use_pallas_instep():
                 from fire_tpu.ops.pallas_topk import pallas_cosine_top1
 
-                sims, idx = pallas_cosine_top1(flat_emb, gal, count)
+                sims, idx = pallas_cosine_top1(emb_m, gal, count)
             else:
                 from fire_tpu.ops.gallery_match import cosine_topk
 
                 valid = jnp.arange(gal.shape[0]) < count
-                sims, idx = cosine_topk(flat_emb, gal, valid, k=1)
+                sims, idx = cosine_topk(emb_m, gal, valid, k=1)
                 sims, idx = sims[:, 0], idx[:, 0]
-            det_gid = idx.reshape(n_det, k)
-            det_sim = sims.reshape(n_det, k)
+
+            nk, dim_e = n_det * k, emb_m.shape[-1]
+            if top_idx is not None:
+                # scatter the compacted results back to (n_det, k) slots;
+                # unencoded detections carry emb=0/sim=0/gid=-1 and a
+                # False has_emb so the tracker treats them as tracked-
+                # but-not-encoded (no zero-embedding enrollment).
+                emb = (jnp.zeros((nk, dim_e), emb_m.dtype)
+                       .at[top_idx].set(emb_m * sel_valid[:, None]))
+                det_sim = (jnp.zeros((nk,), jnp.float32)
+                           .at[top_idx].set(sims * sel_valid))
+                det_gid = (jnp.full((nk,), -1, jnp.int32)
+                           .at[top_idx].set(jnp.where(sel_valid, idx, -1)))
+                has_emb = jnp.zeros((nk,), bool).at[top_idx].set(sel_valid)
+                emb = emb.reshape(n_det, k, dim_e)
+                det_sim = det_sim.reshape(n_det, k)
+                det_gid = det_gid.reshape(n_det, k)
+                has_emb = has_emb.reshape(n_det, k)
+            else:
+                emb = emb_m.reshape(n_det, k, dim_e) * mask[..., None]
+                det_gid = idx.reshape(n_det, k)
+                det_sim = sims.reshape(n_det, k)
+                has_emb = mask
 
             if interval > 1:
                 # scatter detections back to full-batch arrays: coast
@@ -343,11 +401,12 @@ class BatchStreamEngine:
                 det_gid = expand(det_gid)
                 det_sim = expand(det_sim)
                 emb = expand(emb)
+                has_emb = expand(has_emb, fill=False)
 
             # ---- serial tracking over the batch
             new_state, res = _track_scan(
                 state, boxes.astype(jnp.float32), mask, det_gid, det_sim, emb,
-                tcfg, thr, trig,
+                has_emb, tcfg, thr, trig,
             )
             return new_state, pack_results(res)
 

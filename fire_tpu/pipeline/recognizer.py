@@ -106,6 +106,7 @@ class FaceRecognition:
         trained_detector: Optional[str] = None,
         sharded_gallery: Optional[bool] = None,
         engine_cfg: Optional["EngineConfig"] = None,
+        encode_budget: Optional[int] = None,
     ):
         encoder_model_type = encoder_model_type or "128"
         self.cfg = RecognizerConfig(
@@ -119,6 +120,7 @@ class FaceRecognition:
             enable_logging=enable_logging,
             show=show,
             detection_interval=detection_interval,
+            encode_budget=encode_budget,
             encryption_password=encryption_password,
             interested_label=interested_label,
             storage_root=storage_root,
@@ -905,7 +907,8 @@ class FaceRecognition:
             )
             batch_size = rounded
         bse = BatchStreamEngine(
-            self.engine, self.gallery, self.cfg, detection_interval=interval
+            self.engine, self.gallery, self.cfg, detection_interval=interval,
+            encode_budget=self.cfg.encode_budget,
         )
         out = None
         temp_video_path = None
@@ -1080,6 +1083,7 @@ class FaceRecognition:
             mse = MultiStreamEngine(
                 self.engine, self.gallery, self.cfg, mesh,
                 detection_interval=interval,
+                encode_budget=self.cfg.encode_budget,
             )
             n_real = len(caps)
             writers = [None] * n_real

@@ -78,3 +78,44 @@ def test_crop_and_resize_mm_matches_gather(rng):
     # bf16 weight products: ~1e-2 agreement with the f32 gather kernel
     assert np.abs(out - ref).max() < 3e-2
     assert np.abs(out - ref).mean() < 5e-3
+
+
+def test_crop_and_resize_rows_matches_gather(rng):
+    """Row-gather + column-matmul kernel agrees with the f32 gather kernel."""
+    from fire_tpu.ops.image import crop_and_resize_rows
+
+    x = rng.random((240, 320, 3)).astype(np.float32)
+    boxes = np.array([[40, 30, 100, 80], [0, 0, 320, 240], [10, 5, 31, 47]], np.float32)
+    ref = np.asarray(fimg.crop_and_resize(jnp.asarray(x), jnp.asarray(boxes), (160, 160)))
+    out = np.asarray(crop_and_resize_rows(jnp.asarray(x), jnp.asarray(boxes), (160, 160)))
+    # only the column interpolation runs in bf16 → same tolerance as mm
+    assert np.abs(out - ref).max() < 3e-2
+    assert np.abs(out - ref).mean() < 5e-3
+
+
+def test_crop_selected_rows_matches_per_frame(rng):
+    """Cross-frame compacted crop == per-frame crop of the selected boxes."""
+    from fire_tpu.ops.image import crop_selected_rows
+
+    frames = rng.integers(0, 255, (4, 96, 128, 3)).astype(np.uint8)
+    boxes = np.array(
+        [[10, 8, 40, 30], [0, 0, 128, 96], [60, 50, 31, 29], [5, 5, 12, 18]],
+        np.float32,
+    )
+    frame_idx = np.array([2, 0, 3, 2], np.int32)
+    out = np.asarray(
+        crop_selected_rows(
+            jnp.asarray(frames), jnp.asarray(frame_idx), jnp.asarray(boxes), (64, 64)
+        )
+    )
+    for i in range(len(boxes)):
+        ref = np.asarray(
+            fimg.crop_and_resize(
+                jnp.asarray(frames[frame_idx[i]].astype(np.float32)),
+                jnp.asarray(boxes[i : i + 1]),
+                (64, 64),
+            )
+        )[0]
+        # bf16 column weights on a 0..255 range
+        assert np.abs(out[i] - ref).max() < 255 * 3e-2, i
+        assert np.abs(out[i] - ref).mean() < 255 * 5e-3

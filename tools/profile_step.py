@@ -184,7 +184,7 @@ def main():
     bx = jnp.zeros((B, k, 4), jnp.float32)
 
     def scan_stage(state, bx, mask, gid, sim, emb):
-        new_state, res = _track_scan(state, bx, mask, gid, sim, emb,
+        new_state, res = _track_scan(state, bx, mask, gid, sim, emb, mask,
                                      tcfg, 0.7, 1)
         return res.tid
 
