@@ -135,33 +135,39 @@ def blazeface_layer_order() -> List[Tuple]:
 def decode_blazeface(
     scores: jnp.ndarray,
     regs: jnp.ndarray,
-    frame_hw,
+    scale,
     conf_threshold: float = 0.8,
     nms_threshold: float = 0.3,
     max_faces: int = 32,
+    input_px: int = 128,
 ) -> Detections:
     """SSD decode + NMS → padded `Detections` in source-frame pixels.
 
     Raw score is clipped to ±100 then sigmoided (mediapipe convention);
-    regressions are anchor-relative in units of the 128-px input.
+    regressions are anchor-relative in units of the ``input_px`` model
+    input.  ``scale`` is the letterbox resize factor the engine applied
+    (source px × scale = canvas px): dividing the canvas-pixel decode by
+    it is the letterbox removal MediaPipe's graph performs before
+    emitting relative coordinates
+    (mediapipe_face_detector.py:67-71 consumes post-removal boxes).
     6 keypoints (right_eye, left_eye, nose, mouth, right_ear, left_ear)
     are mapped to the 5-point contract with mouth duplicated for both
     mouth corners.
     """
-    h, w = frame_hw
-    anchors = jnp.asarray(blaze_anchors())  # (896, 2) in [0,1]
+    anchors = jnp.asarray(blaze_anchors()) * input_px  # (896, 2) canvas px
     prob = nn.sigmoid(jnp.clip(scores[0], -100.0, 100.0))
-    r = regs[0] / 128.0  # anchor-relative, normalised units
-    cx = anchors[:, 0] + r[:, 0]
-    cy = anchors[:, 1] + r[:, 1]
+    r = regs[0] / scale  # anchor-relative canvas px → source px
+    apx = anchors / scale  # anchor centres in source px
+    cx = apx[:, 0] + r[:, 0]
+    cy = apx[:, 1] + r[:, 1]
     bw = r[:, 2]
     bh = r[:, 3]
     boxes = jnp.stack(
-        [(cx - bw / 2) * w, (cy - bh / 2) * h, (cx + bw / 2) * w, (cy + bh / 2) * h], axis=-1
+        [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
     )
     kp = r[:, 4:16].reshape(-1, 6, 2)
-    kx = (anchors[:, None, 0] + kp[..., 0]) * w
-    ky = (anchors[:, None, 1] + kp[..., 1]) * h
+    kx = apx[:, None, 0] + kp[..., 0]
+    ky = apx[:, None, 1] + kp[..., 1]
     kps6 = jnp.stack([kx, ky], axis=-1)  # (896, 6, 2)
     # contract order: right_eye, left_eye, nose, mouth_right, mouth_left
     lms = jnp.stack([kps6[:, 0], kps6[:, 1], kps6[:, 2], kps6[:, 3], kps6[:, 3]], axis=1)

@@ -183,14 +183,19 @@ def _rows_then_cols(rows_src, ys, xs, w):
     nonzero entries of the dense (oh, H) interpolation matrix); column
     interpolation stays a dense MXU matmul over W.
     """
-    wy = (ys - jnp.floor(ys))[..., None, None]
-    rows = rows_src[..., 0, :, :] * (1.0 - wy) + rows_src[..., 1, :, :] * wy
+    wy = (ys - jnp.floor(ys))[..., None, None].astype(jnp.bfloat16)
+    r16 = rows_src.astype(jnp.bfloat16)
+    # bf16 lerp: the full-width row intermediate is the kernel's largest
+    # temp — keeping it bf16 (not f32) halves it, and at u8 source range
+    # the 2^-9 relative error is ~0.5/255 intensity, below the kernel's
+    # stated tolerance
+    rows = r16[..., 0, :, :] * (1.0 - wy) + r16[..., 1, :, :] * wy
     jx = jnp.arange(w, dtype=jnp.float32)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[..., None] - jx))  # (..., ow, W)
     return jnp.einsum(
         "...xw,...ywc->...yxc",
         wx.astype(jnp.bfloat16),
-        rows.astype(jnp.bfloat16),
+        rows,
         preferred_element_type=jnp.float32,
     )
 
@@ -220,16 +225,17 @@ def crop_and_resize_rows(
     )  # (K, oh), (K, ow)
     y0i = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
     y01 = jnp.stack([y0i, jnp.clip(y0i + 1, 0, h - 1)], axis=-1)  # (K, oh, 2)
-    rows_src = image[y01].astype(jnp.float32)  # (K, oh, 2, W, C)
+    rows_src = image[y01]  # (K, oh, 2, W, C)
     return _rows_then_cols(rows_src, ys, xs, w)
 
 
-@partial(jax.jit, static_argnames=("out_hw",))
+@partial(jax.jit, static_argnames=("out_hw", "chunk"))
 def crop_selected_rows(
     frames: jnp.ndarray,
     frame_idx: jnp.ndarray,
     boxes_xywh: jnp.ndarray,
     out_hw: Tuple[int, int] = (160, 160),
+    chunk: int = 64,
 ) -> jnp.ndarray:
     """Crop M selected boxes from a batch of frames (cross-frame compaction).
 
@@ -241,6 +247,12 @@ def crop_selected_rows(
     batch is viewed as (B·H, W, C) and only the 2·oh bracketing rows
     of each crop are gathered (frame_idx folds into the row index).
 
+    The gathered rows are still the dominant temp — (M, oh, 2, W, C)
+    is ~7.5 GB f32 at M=1024/1080p, an HBM OOM next to the resident
+    frame batch — so the selection is processed in ``chunk``-sized
+    slices under ``lax.map`` (peak temp ≈ chunk·oh·2·W·C in u8 + bf16,
+    ~120 MB at the default) and the row lerp runs in bf16.
+
     Args:
       frames: (B, H, W, C) frame batch (any dtype; uint8 is fine).
       frame_idx: (M,) int32 source frame per selected box.
@@ -249,15 +261,25 @@ def crop_selected_rows(
       (M, oh, ow, C) float32 crops.
     """
     b, h, w, c = frames.shape
+    m = boxes_xywh.shape[0]
     flat = frames.reshape(b * h, w, c)
-    ys, xs = jax.vmap(lambda bx: _crop_coords(bx, out_hw, (h, w)))(
-        boxes_xywh.astype(jnp.float32)
-    )  # (M, oh), (M, ow)
-    y0i = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    base = (frame_idx.astype(jnp.int32) * h)[:, None]
-    y01 = jnp.stack([base + y0i, base + jnp.clip(y0i + 1, 0, h - 1)], axis=-1)
-    rows_src = flat[y01].astype(jnp.float32)  # (M, oh, 2, W, C)
-    return _rows_then_cols(rows_src, ys, xs, w)
+    cs = min(chunk, m)
+    g = -(-m // cs)
+    pad = g * cs - m
+    fi = jnp.pad(frame_idx.astype(jnp.int32), (0, pad))
+    bx = jnp.pad(boxes_xywh.astype(jnp.float32), ((0, pad), (0, 0)))
+
+    def one_chunk(args):
+        fi_c, bx_c = args
+        ys, xs = jax.vmap(lambda bb: _crop_coords(bb, out_hw, (h, w)))(bx_c)
+        y0i = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+        base = (fi_c * h)[:, None]
+        y01 = jnp.stack([base + y0i, base + jnp.clip(y0i + 1, 0, h - 1)], axis=-1)
+        rows_src = flat[y01]  # (cs, oh, 2, W, C) source dtype
+        return _rows_then_cols(rows_src, ys, xs, w)
+
+    out = jax.lax.map(one_chunk, (fi.reshape(g, cs), bx.reshape(g, cs, 4)))
+    return out.reshape(g * cs, *out_hw, c)[:m]
 
 
 @partial(jax.jit, static_argnames=("out_hw",))

@@ -522,7 +522,7 @@ class DeviceEngine:
                 x = bgr_to_rgb(x)
                 scores, regs = self._det_fn(det_vars, x)
                 return decode_blazeface(
-                    scores, regs, frame_hw,
+                    scores, regs, scale,
                     conf_threshold=bf_conf,
                     max_faces=max_faces,
                 )

@@ -50,7 +50,7 @@ def test_targets_round_trip_through_production_decode():
     assert cls_t.sum() >= 2  # every face owns >= 1 anchor
 
     scores = jnp.asarray(np.where(cls_t > 0, 20.0, -20.0))
-    dets = decode_blazeface(scores, jnp.asarray(reg_t), (INPUT_PX, INPUT_PX),
+    dets = decode_blazeface(scores, jnp.asarray(reg_t), 1.0,
                             conf_threshold=0.8, nms_threshold=0.3)
     got = np.asarray(dets.boxes_xywh)[np.asarray(dets.mask)]
     got_lms = np.asarray(dets.landmarks)[np.asarray(dets.mask)]

@@ -67,12 +67,17 @@ def test_blazeface_shapes_and_decode():
     s[0, 100] = 10.0
     r = np.zeros((1, 896, 16), np.float32)
     r[0, 100, 2:4] = 32.0  # w = h = 32/128 = 0.25 relative
-    dets = decode_blazeface(jnp.asarray(s), jnp.asarray(r), (480, 640), conf_threshold=0.5)
+    # scale=0.2 is the engine's letterbox factor for a 480×640 source at
+    # the 128 input; decode divides the canvas-pixel boxes by it
+    # (MediaPipe's letterbox-removal semantics)
+    dets = decode_blazeface(jnp.asarray(s), jnp.asarray(r), 0.2, conf_threshold=0.5)
     mask = np.asarray(dets.mask)
     assert mask.sum() == 1
     ax, ay = blaze_anchors()[100]
     b = np.asarray(dets.boxes_xywh)[0]
-    np.testing.assert_allclose(b, [(ax - 0.125) * 640, (ay - 0.125) * 480, 0.25 * 640, 0.25 * 480], atol=1e-3)
+    np.testing.assert_allclose(
+        b, [(ax * 128 - 16) / 0.2, (ay * 128 - 16) / 0.2, 160.0, 160.0], atol=1e-3
+    )
     assert dets.landmarks.shape == (32, 5, 2)
 
 
