@@ -348,6 +348,28 @@ def update_pool_rows(arr, block, start):
     return _update_rows_jit(arr, jax.device_put(block), start)
 
 
+def warm_start_variables(variables, path: str):
+    """Load a previous run's msgpack over ``variables`` (fine-tune init).
+
+    The stored tree must match structurally (same trainer/model);
+    committed checkpoints are bf16 (tools/export_bf16.py), so every
+    float leaf is re-cast to an f32 numpy master for the optimizer —
+    the train step's bf16 model casts back on the fly.
+    """
+    import jax
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        variables = serialization.from_bytes(variables, f.read())
+    return jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) or str(
+            np.asarray(a).dtype) == "bfloat16"
+        else np.asarray(a),
+        variables,
+    )
+
+
 def make_detect_train_step(model, optimizer, strides=STRIDES,
                            box_weight: float = 2.0, kps_weight: float = 0.25):
     """Jitted (state, images01, targets) → (state, loss, metrics)."""

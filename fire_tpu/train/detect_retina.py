@@ -312,6 +312,12 @@ def main() -> None:
                          "or the round-3 focal BCE")
     ap.add_argument("--neg_pos_ratio", type=float, default=7.0,
                     help="OHEM negatives kept per positive (min 32/image)")
+    ap.add_argument("--box_weight", type=float, default=2.0,
+                    help="regression-loss weight; raise for a "
+                         "localization-focused fine-tune")
+    ap.add_argument("--init_from", default=None,
+                    help="msgpack of a previous run to warm-start from "
+                         "(fine-tune) instead of random init")
     ap.add_argument("--alpha", type=float, default=0.75,
                     help="focal positive weight (focal mode only)")
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -369,6 +375,11 @@ def main() -> None:
         ),
         seed=args.seed,
     )
+    if args.init_from:
+        from fire_tpu.train.detect import warm_start_variables
+
+        variables = warm_start_variables(variables, args.init_from)
+        log.info("warm-started from %s", args.init_from)
     optimizer = optax.chain(
         optax.clip_by_global_norm(5.0),
         optax.adamw(optax.cosine_decay_schedule(args.lr, args.steps, 0.05)),
@@ -379,7 +390,8 @@ def main() -> None:
         model, optimizer, hw,
         loss_kwargs={"cls_loss": args.cls_loss,
                      "neg_pos_ratio": args.neg_pos_ratio,
-                     "alpha": args.alpha},
+                     "alpha": args.alpha,
+                     "box_weight": args.box_weight},
     )
 
     rng = np.random.default_rng(args.seed + 7)

@@ -199,3 +199,39 @@ def test_trainer_transform_matches_engine_detect_transform():
     np.testing.assert_allclose(
         np.asarray(x_engine), np.asarray(x_train), atol=1e-3
     )
+
+
+def test_warm_start_variables_round_trip(tmp_path):
+    """--init_from restores a saved checkpoint (bf16 or f32) into f32
+    masters with the trainer's template structure."""
+    from flax import serialization
+
+    from fire_tpu.pipeline.engine import _materialize
+    from fire_tpu.train.detect import warm_start_variables
+
+    model = BlazeFace(dtype=jnp.bfloat16)
+    template = _materialize(
+        jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                       jnp.zeros((1, INPUT_PX, INPUT_PX, 3))),
+        seed=0,
+    )
+    trained = jax.tree.map(
+        lambda a: np.asarray(a, jnp.bfloat16) + np.asarray(1, jnp.bfloat16)
+        if np.asarray(a).dtype == np.float32 else np.asarray(a),
+        template,
+    )
+    path = tmp_path / "ckpt.msgpack"
+    path.write_bytes(serialization.to_bytes(
+        {"params": trained["params"]}
+    ))
+
+    got = warm_start_variables(
+        {"params": template["params"]}, str(path)
+    )
+    leaves = jax.tree_util.tree_leaves(got["params"])
+    assert all(np.asarray(l).dtype == np.float32 for l in leaves)
+    want = jax.tree_util.tree_leaves(trained["params"])
+    for g, w in zip(leaves, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w, np.float32), rtol=1e-2, atol=1e-2
+        )
