@@ -109,6 +109,13 @@ class EngineConfig:
     # mirroring the reference's scale-to-[1024,1980] preprocess
     # (processing/preprocess.py:133).
     retinaface_size: Tuple[int, int] = (1024, 1024)
+    # BlazeFace (mediapipe fast slot) input.  128 is the published
+    # short-range contract (the resolution reference TFLite weights are
+    # trained for — importing them forces this back to 128); the model
+    # is fully convolutional, so the from-scratch trained weights run
+    # at 192 (2016 anchors) for a sharper localization tail — the CLI's
+    # trained-default, mirroring retinaface_size=512 (round 5).
+    blazeface_size: Tuple[int, int] = (128, 128)
     # FaceNet input (facenet_gpu.py:110).
     encode_size: Tuple[int, int] = (160, 160)
 

@@ -36,6 +36,9 @@ def main() -> None:
                          "matching trainer's default per slot)")
     ap.add_argument("--max_faces", type=int, default=2)
     ap.add_argument("--retinaface_size", type=int, default=None)
+    ap.add_argument("--blazeface_size", type=int, default=None,
+                    help="mediapipe-slot input px (128 published / 192 "
+                         "round-5 trained-default)")
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -48,12 +51,17 @@ def main() -> None:
     from fire_tpu.train.scenes import compose_scene, make_identities
 
     engine_kw = {}
-    if args.retinaface_size:
+    if args.retinaface_size or args.blazeface_size:
         from fire_tpu.config import EngineConfig
 
-        engine_kw["engine"] = EngineConfig(
-            retinaface_size=(args.retinaface_size, args.retinaface_size)
-        )
+        size_kw = {}
+        if args.retinaface_size:
+            size_kw["retinaface_size"] = (
+                args.retinaface_size, args.retinaface_size)
+        if args.blazeface_size:
+            size_kw["blazeface_size"] = (
+                args.blazeface_size, args.blazeface_size)
+        engine_kw["engine"] = EngineConfig(**size_kw)
     cfg = RecognizerConfig(
         detector_type=args.detector, weights_dir=None, **engine_kw
     ).with_embedding_dim()

@@ -43,12 +43,16 @@ BLAZE_BLOCKS: Tuple[Tuple[int, int], ...] = (
 )
 
 
-def blaze_anchors() -> np.ndarray:
-    """(896, 2) anchor centres in [0,1] — 2 per 16×16 cell (stride 8)
-    then 6 per 8×8 cell (stride 16); mediapipe's SSD anchor config for
-    this model collapses to unit-size centre anchors."""
+def blaze_anchors(input_px: int = 128) -> np.ndarray:
+    """(A, 2) anchor centres in [0,1] — 2 per stride-8 cell then 6 per
+    stride-16 cell; mediapipe's SSD anchor config for this model
+    collapses to unit-size centre anchors.  At the published 128² input
+    that is 896 anchors (16×16×2 + 8×8×6); the topology is fully
+    convolutional, so the same weights-compatible head layout yields
+    2016 anchors at 192² — the operating point the from-scratch trained
+    weights use for a sharper localization tail (round 5)."""
     anchors = []
-    for grid, per_cell in ((16, 2), (8, 6)):
+    for grid, per_cell in ((input_px // 8, 2), (input_px // 16, 6)):
         step = 1.0 / grid
         for y in range(grid):
             for x in range(grid):
@@ -154,7 +158,7 @@ def decode_blazeface(
     are mapped to the 5-point contract with mouth duplicated for both
     mouth corners.
     """
-    anchors = jnp.asarray(blaze_anchors()) * input_px  # (896, 2) canvas px
+    anchors = jnp.asarray(blaze_anchors(input_px)) * input_px  # (A, 2) canvas px
     prob = nn.sigmoid(jnp.clip(scores[0], -100.0, 100.0))
     r = regs[0] / scale  # anchor-relative canvas px → source px
     apx = anchors / scale  # anchor centres in source px

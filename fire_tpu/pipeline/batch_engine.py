@@ -71,6 +71,29 @@ class StreamState(NamedTuple):
 MAX_ENROLL = 8  # enrollment candidates surfaced to the host per batch
 
 
+def _bucket_ladder(nk: int, buckets_opt) -> Tuple[int, ...]:
+    """Static encoder bucket sizes for the exact cross-batch compaction.
+
+    Returns an ascending tuple ending at ``nk`` (the lossless top rung).
+    ``buckets_opt`` None → auto ladder ≈ [nk/8, nk/2, nk] rounded up to
+    multiples of 8 (MXU-friendly encoder batches); explicit tuple →
+    cleaned + nk appended; ``()`` → ``()`` (compaction disabled).  A
+    ladder that collapses to just (nk,) signals the caller to use the
+    plain full-batch path (no switch overhead for tiny steps).
+    """
+    if buckets_opt is not None and len(buckets_opt) == 0:
+        return ()
+    if buckets_opt is None:
+        cand = [-(-nk // 8), -(-nk // 2)]
+    else:
+        cand = list(buckets_opt)
+    up8 = lambda v: -(-int(v) // 8) * 8  # noqa: E731
+    rungs = sorted({min(nk, max(8, up8(v))) for v in cand if v > 0})
+    if not rungs or rungs[-1] != nk:
+        rungs.append(nk)
+    return tuple(r for r in rungs if r <= nk)
+
+
 class BatchResults(NamedTuple):
     """Per-batch results (leading axis = frame).  On device these are
     packed into ONE flat f32 buffer before readback — each device→host
@@ -253,7 +276,8 @@ class BatchStreamEngine:
     def __init__(self, engine, gallery, cfg: RecognizerConfig,
                  tracker_cfg: Optional[TrackerConfig] = None,
                  encode_k: int = 8, detection_interval: int = 1,
-                 encode_budget: Optional[int] = None):
+                 encode_budget: Optional[int] = None,
+                 encode_buckets: Optional[Tuple[int, ...]] = None):
         """``detection_interval`` d>1 runs the detector CNN only on every
         d-th frame of a batch (frame-skip semantics,
         face_recognition.py:376-393) — the tracker coasts on UKF
@@ -268,14 +292,26 @@ class BatchStreamEngine:
         ``encode_k`` stays the per-frame *tracking* capacity.  A 4-face
         scene at encode_k=8 wastes half the encoder batch on pad slots;
         budget = faces/frame × B reclaims it (the encoder is ~48% of
-        the fused step at B=256 — docs/DESIGN.md §3).  None = B·K
-        (every slot encoded, the pre-round-4 behaviour)."""
+        the fused step at B=256 — docs/DESIGN.md §3).
+
+        ``encode_buckets`` (budget=None only) controls the default
+        *exact* cross-batch compaction (round 5): the step counts the
+        batch's real detections ON DEVICE and ``lax.switch``es into the
+        smallest compiled encoder bucket that holds all of them — every
+        detection is still encoded (identical semantics to the legacy
+        full-B·K path, unlike ``encode_budget``'s top-N drop), but a
+        ~1-face/frame workload runs crop+encode+match at M≈B·K/8
+        instead of B·K pad-heavy slots.  None = auto ladder
+        (≈[B·K/8, B·K/2, B·K]); an explicit tuple sets the ladder (B·K
+        is always appended so the top bucket stays lossless); an empty
+        tuple ``()`` disables compaction (the pre-round-5 full path)."""
         self.engine = engine          # DeviceEngine (models + jits)
         self.gallery = gallery        # DeviceGallery
         self.cfg = cfg
         self.tcfg = (tracker_cfg or TrackerConfig())
         self.encode_k = encode_k
         self.encode_budget = encode_budget
+        self.encode_buckets = encode_buckets
         self.interval = max(1, detection_interval)
         self.state = make_stream_state(self.tcfg, cfg.embedding_dim)
         self._step_cache = {}
@@ -286,6 +322,7 @@ class BatchStreamEngine:
     def _build_step(self, frame_hw, batch: int):
         cfg, tcfg, k_enc = self.cfg, self.tcfg, self.encode_k
         budget = self.encode_budget
+        buckets_opt = self.encode_buckets
         eng = self.engine
         detector_fn = eng._build_detect(frame_hw).__wrapped__  # unjitted body
         thr = cfg.similarity_threshold
@@ -326,68 +363,98 @@ class BatchStreamEngine:
 
             # ---- encode in one FaceNet pass (crop directly from uint8;
             # bf16 cast happens in the resampler — no full-res f32
-            # intermediate).  Under an encode budget the batch's
-            # detections are first compacted to the top-M by score: the
-            # crop, the encoder and the gallery match then run on M
-            # inputs instead of B·K pad-heavy slots (the encoder is the
-            # step's largest stage — docs/DESIGN.md §3 profile).
-            m = n_det * k if budget is None else max(1, min(budget, n_det * k))
+            # intermediate).  The batch's detections are first compacted
+            # across frames: the crop, the encoder and the gallery match
+            # run on M inputs instead of B·K pad-heavy slots (the
+            # encoder is the step's largest stage — docs/DESIGN.md §3
+            # profile).  M is either the opt-in `encode_budget` (top-M
+            # by score, may drop) or — the round-5 default — the
+            # smallest static bucket that holds ALL real detections,
+            # picked on device via lax.switch (exact semantics).
+            nk = n_det * k
             enc_fn = getattr(eng, "_enc_fn", None) or eng.encoder.apply
-            if m < n_det * k:
-                scores = jnp.take_along_axis(scores_raw, pick, axis=1)
-                flat_scores = jnp.where(mask, scores, -1.0).reshape(-1)
-                top_s, top_idx = jax.lax.top_k(flat_scores, m)
-                sel_valid = top_s >= 0.0
-                sel_frame = (top_idx // k).astype(jnp.int32)
-                sel_boxes = boxes.reshape(-1, 4)[top_idx]
-                crops = crop_selected_rows(det_frames, sel_frame, sel_boxes, size)
-            else:
-                top_idx = None
-                crops = jax.vmap(lambda img, b: crop_and_resize_mm(img, b, size))(
-                    det_frames, boxes
-                )
-            flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
-            emb_m = l2_normalize(enc_fn(enc_vars, flat).astype(jnp.float32))
 
-            # ---- match all embeddings in one gallery pass.  On real
-            # TPU the fused Pallas top-1 runs in-step: with the
-            # resident bf16 gallery and 2048-row tiles it beats XLA's
-            # matmul+top_k by ~2x in compute at this scale (B=1024
-            # queries vs 100k rows: 31.2 vs 34.4 ms/call incl. the
-            # ~27 ms dispatch floor — bench_gallery.py, v5e).
-            if _use_pallas_instep():
-                from fire_tpu.ops.pallas_topk import pallas_cosine_top1
+            def match(emb_q):
+                # one fused gallery pass.  On real TPU the Pallas top-1
+                # runs in-step: with the resident bf16 gallery and
+                # 2048-row tiles it beats XLA's matmul+top_k by ~2x in
+                # compute at this scale (B=1024 queries vs 100k rows:
+                # 31.2 vs 34.4 ms/call incl. the ~27 ms dispatch floor
+                # — bench_gallery.py, v5e).
+                if _use_pallas_instep():
+                    from fire_tpu.ops.pallas_topk import pallas_cosine_top1
 
-                sims, idx = pallas_cosine_top1(emb_m, gal, count)
-            else:
+                    return pallas_cosine_top1(emb_q, gal, count)
                 from fire_tpu.ops.gallery_match import cosine_topk
 
                 valid = jnp.arange(gal.shape[0]) < count
-                sims, idx = cosine_topk(emb_m, gal, valid, k=1)
-                sims, idx = sims[:, 0], idx[:, 0]
+                sims, idx = cosine_topk(emb_q, gal, valid, k=1)
+                return sims[:, 0], idx[:, 0]
 
-            nk, dim_e = n_det * k, emb_m.shape[-1]
-            if top_idx is not None:
-                # scatter the compacted results back to (n_det, k) slots;
-                # unencoded detections carry emb=0/sim=0/gid=-1 and a
-                # False has_emb so the tracker treats them as tracked-
-                # but-not-encoded (no zero-embedding enrollment).
-                emb = (jnp.zeros((nk, dim_e), emb_m.dtype)
-                       .at[top_idx].set(emb_m * sel_valid[:, None]))
+            scores = jnp.take_along_axis(scores_raw, pick, axis=1)
+            flat_scores = jnp.where(mask, scores, -1.0).reshape(-1)
+            boxes_flat = boxes.reshape(-1, 4)
+
+            def encode_compacted(m):
+                """Crop+encode+match the top-m detections, scattered back
+                to (n_det, k) slots; unencoded slots carry emb=0/sim=0/
+                gid=-1 and a False has_emb so the tracker treats them as
+                tracked-but-not-encoded (no zero-embedding enrollment)."""
+                top_s, top_idx = jax.lax.top_k(flat_scores, m)
+                sel_valid = top_s >= 0.0
+                sel_frame = (top_idx // k).astype(jnp.int32)
+                sel_boxes = boxes_flat[top_idx]
+                crops = crop_selected_rows(det_frames, sel_frame, sel_boxes, size)
+                flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
+                emb_q = l2_normalize(enc_fn(enc_vars, flat).astype(jnp.float32))
+                sims, idx = match(emb_q)
+                dim_e = emb_q.shape[-1]
+                emb = (jnp.zeros((nk, dim_e), emb_q.dtype)
+                       .at[top_idx].set(emb_q * sel_valid[:, None]))
                 det_sim = (jnp.zeros((nk,), jnp.float32)
                            .at[top_idx].set(sims * sel_valid))
                 det_gid = (jnp.full((nk,), -1, jnp.int32)
                            .at[top_idx].set(jnp.where(sel_valid, idx, -1)))
                 has_emb = jnp.zeros((nk,), bool).at[top_idx].set(sel_valid)
-                emb = emb.reshape(n_det, k, dim_e)
-                det_sim = det_sim.reshape(n_det, k)
-                det_gid = det_gid.reshape(n_det, k)
-                has_emb = has_emb.reshape(n_det, k)
+                return (emb.reshape(n_det, k, dim_e),
+                        det_sim.reshape(n_det, k),
+                        det_gid.reshape(n_det, k),
+                        has_emb.reshape(n_det, k))
+
+            if budget is not None:
+                emb, det_sim, det_gid, has_emb = encode_compacted(
+                    max(1, min(budget, nk))
+                )
             else:
-                emb = emb_m.reshape(n_det, k, dim_e) * mask[..., None]
-                det_gid = idx.reshape(n_det, k)
-                det_sim = sims.reshape(n_det, k)
-                has_emb = mask
+                buckets = _bucket_ladder(nk, buckets_opt)
+                if buckets == (nk,) or not buckets:
+                    # no useful ladder (tiny batches / compaction off):
+                    # the legacy full-B·K path, one crop per slot
+                    crops = jax.vmap(
+                        lambda img, b: crop_and_resize_mm(img, b, size)
+                    )(det_frames, boxes)
+                    flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
+                    emb_q = l2_normalize(enc_fn(enc_vars, flat).astype(jnp.float32))
+                    sims, idx = match(emb_q)
+                    emb = emb_q.reshape(n_det, k, -1) * mask[..., None]
+                    det_gid = idx.reshape(n_det, k)
+                    det_sim = sims.reshape(n_det, k)
+                    has_emb = mask
+                else:
+                    # exact bucketed compaction: every real detection is
+                    # inside the chosen bucket (the ladder ends at nk),
+                    # so semantics are identical to the full path — XLA
+                    # compiles one crop+encode+match program per bucket
+                    # and the device executes exactly one.
+                    n_real = mask.sum()
+                    sel = jnp.searchsorted(
+                        jnp.asarray(buckets, jnp.int32), n_real, side="left"
+                    )
+                    emb, det_sim, det_gid, has_emb = jax.lax.switch(
+                        sel,
+                        [lambda _=None, m=m: encode_compacted(m)
+                         for m in buckets],
+                    )
 
             if interval > 1:
                 # scatter detections back to full-batch arrays: coast

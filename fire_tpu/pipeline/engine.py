@@ -120,7 +120,7 @@ class DeviceEngine:
             self._detect_input = cfg.engine.retinaface_size
         elif det in ("mediapipe", "blazeface"):
             self.detector = detector or BlazeFace(dtype=dt)
-            self._detect_input = (128, 128)
+            self._detect_input = cfg.engine.blazeface_size
         else:
             raise ValueError(
                 "Invalid detector_type. Choose from 'yunet', 'retinaface', 'mediapipe'."
@@ -322,6 +322,18 @@ class DeviceEngine:
         self.weight_source["detector"] = f"onnx-exec:{path}"
         log.info("Detector runs the exact ONNX graph from %s (executor).", path)
 
+    def _force_blazeface_128(self) -> None:
+        """Reference BlazeFace weights are trained at the published 128²
+        input — importing them pins the slot back to 128 even when
+        EngineConfig.blazeface_size asks for the trained-default 192
+        (the FCN topology would *run* at 192, but the reference weights'
+        receptive-field statistics would silently degrade)."""
+        if tuple(self._detect_input) != (128, 128):
+            log.info("Imported BlazeFace weights: forcing 128x128 input "
+                     "(was %s).", self._detect_input)
+            self._detect_input = (128, 128)
+            getattr(self, "_detect_jit_cache", {}).clear()
+
     def load_blazeface_onnx_weights(self, path: str) -> None:
         """Import BlazeFace short-range weights (the reference's
         MediaPipe model slot, mediapipe_face_detector.py:28-33)."""
@@ -339,6 +351,7 @@ class DeviceEngine:
         )
         self.weight_source["detector"] = f"onnx-import:{path}"
         log.info("Imported BlazeFace weights from %s.", path)
+        self._force_blazeface_128()
 
     def load_blazeface_tflite_weights(self, path: str) -> None:
         """Import BlazeFace weights directly from MediaPipe's
@@ -353,6 +366,7 @@ class DeviceEngine:
         self.det_vars = jax.tree.map(jnp.asarray, {"params": params})
         self.weight_source["detector"] = f"tflite-import:{path}"
         log.info("Imported BlazeFace weights from TFLite file %s.", path)
+        self._force_blazeface_128()
 
     def _use_onnx_blazeface(self, path: str) -> None:
         """Run a BlazeFace ONNX graph exactly: [-1,1] RGB NCHW input,
@@ -385,6 +399,7 @@ class DeviceEngine:
         self._det_fn = det_fn
         self.weight_source["detector"] = f"onnx-exec:{path}"
         log.info("Detector runs the exact ONNX graph from %s (executor).", path)
+        self._force_blazeface_128()
 
     def _use_onnx_retinaface(self, path: str) -> None:
         """Run the reference's RetinaFace ONNX graph exactly.
@@ -525,6 +540,7 @@ class DeviceEngine:
                     scores, regs, scale,
                     conf_threshold=bf_conf,
                     max_faces=max_faces,
+                    input_px=det_hw[0],
                 )
             if isinstance(detector, RetinaFace):
                 x = bgr_to_rgb(x) * 255.0  # raw-pixel RGB (preprocess.py:130-143)

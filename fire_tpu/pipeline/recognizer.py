@@ -937,7 +937,15 @@ class FaceRecognition:
 
         def emit(token, frames) -> bool:
             """Collect one in-flight batch, annotate/show/write its
-            frames.  Returns False when the loop must stop."""
+            frames.  Returns False when the loop must stop.
+
+            Each host-plane stage is timed separately (VERDICT r4 #2):
+            the stall on the device result, the host unpack/label/enroll
+            pass, annotation and writer.write — so the end-of-run report
+            decomposes the loop into device round-trip latency (a tunnel
+            artifact on the dev platform) vs genuine host work, and a
+            co-located-host FPS can be projected from the host columns.
+            """
             t0 = time.time()
             res = bse.collect(token)
             # fused detect+encode+match+track device step (stall time —
@@ -948,12 +956,18 @@ class FaceRecognition:
             # batch; in the batched path the closest observable to the
             # per-frame path's len(detected) is confirmed tracks/frame
             self.counters["faces_detected"] += int(res.mask[: len(frames)].sum())
-            for frame, faces in zip(frames, stream_results(self, res, rename_label=name)):
+            t0 = time.time()
+            labelled = list(stream_results(self, res, rename_label=name))
+            self.timer.add("host unpack+label+enroll", time.time() - t0)
+            t_ann = t_write = 0.0
+            for frame, faces in zip(frames, labelled):
                 self.timer.tick_frame()
+                t0 = time.time()
                 annotated = (
                     annotate_faces(frame, faces, with_confidence=True)
                     if annotate else frame
                 )
+                t_ann += time.time() - t0
                 if self.show:
                     cv2.imshow(
                         f"Face Recognition - {stream_type.capitalize()}",
@@ -963,7 +977,11 @@ class FaceRecognition:
                         log.info("User requested to quit %s processing.", stream_type)
                         return False
                 if out is not None:
+                    t0 = time.time()
                     out.write(annotated)
+                    t_write += time.time() - t0
+            self.timer.add("host annotate", t_ann)
+            self.timer.add("host writer.write", t_write)
             if duration > 0 and (time.time() - self.timer.start_time) >= duration:
                 log.info("Duration of %d seconds reached. Stopping.", duration)
                 return False
@@ -973,10 +991,20 @@ class FaceRecognition:
         try:
             batch = []
             stopped = False
-            for frame in reader.frames():
+            frame_iter = reader.frames()
+            while True:
+                t0 = time.time()
+                frame = next(frame_iter, None)
+                self.timer.add("read (decode+prefetch stall)",
+                               time.time() - t0)
+                if frame is None:
+                    break
                 batch.append(frame)
                 if len(batch) == batch_size:
+                    t0 = time.time()
                     token = bse.submit(np.stack(batch))
+                    self.timer.add("submit (stack+H2D+dispatch)",
+                                   time.time() - t0)
                     prev, inflight = inflight, (token, batch)
                     batch = []
                     if prev is not None and not emit(*prev):

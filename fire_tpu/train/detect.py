@@ -358,9 +358,29 @@ def warm_start_variables(variables, path: str):
     """
     import jax
     from flax import serialization
+    from flax.traverse_util import flatten_dict
 
+    template = {
+        "/".join(map(str, p)): tuple(np.shape(leaf))
+        for p, leaf in flatten_dict(variables).items()
+    }
     with open(path, "rb") as f:
         variables = serialization.from_bytes(variables, f.read())
+    # from_bytes restores ndarray leaves without shape validation: a
+    # checkpoint with matching tree structure but different leaf shapes
+    # (a differently-configured model) loads silently and only fails
+    # later inside the jitted train step with an opaque error (ADVICE
+    # r4) — fail loudly here, naming the parameter.
+    for p, leaf in flatten_dict(variables).items():
+        key = "/".join(map(str, p))
+        got = tuple(np.shape(leaf))
+        if template.get(key) != got:
+            raise ValueError(
+                f"checkpoint/model shape mismatch at {key!r}: checkpoint "
+                f"{path} has {got}, the configured model expects "
+                f"{template.get(key)} — wrong --init_from file or "
+                f"model configuration?"
+            )
     return jax.tree.map(
         lambda a: np.asarray(a, np.float32)
         if np.issubdtype(np.asarray(a).dtype, np.floating) or str(

@@ -45,21 +45,27 @@ from typing import Dict, Tuple
 import numpy as np
 
 INPUT_PX = 128
-# anchor cell size in px of the 128 input: 512 stride-8 anchors (16×16
-# grid ⇒ 8 px cells), then 384 stride-16 anchors (8×8 grid ⇒ 16 px)
-_CELL_PX = np.concatenate([np.full(512, 8.0, np.float32),
-                           np.full(384, 16.0, np.float32)])
 
 
-def blaze_targets(boxes, lms, valid):
-    """Batched on-device SSD targets for the 896-anchor head.
+def _cell_px(input_px: int) -> np.ndarray:
+    """Anchor cell size in px of the model input: stride-8 anchors
+    (2/cell) then stride-16 anchors (6/cell) — 8/16 px cells at any
+    input size (896 anchors at 128², 2016 at 192²)."""
+    g8, g16 = input_px // 8, input_px // 16
+    return np.concatenate([np.full(g8 * g8 * 2, 8.0, np.float32),
+                           np.full(g16 * g16 * 6, 16.0, np.float32)])
+
+
+def blaze_targets(boxes, lms, valid, input_px: int = INPUT_PX):
+    """Batched on-device SSD targets for the anchor head (A anchors —
+    896 at the published 128² input, 2016 at the trained-default 192²).
 
     Args:
-      boxes: (B, F, 4) xywh pixels in the 128×128 train image.
+      boxes: (B, F, 4) xywh pixels in the ``input_px``² train image.
       lms:   (B, F, 5, 2) pixel landmarks (Detections order).
       valid: (B, F) bool.
 
-    Returns ``(cls_t (B, 896), reg_t (B, 896, 16), wgt (B, 896),
+    Returns ``(cls_t (B, A), reg_t (B, A, 16), wgt (B, A),
     reg_mask (16,))`` where ``wgt`` zeroes ignored in-box anchors in the
     score loss and ``reg_mask`` zeroes the unsupervised ear slots.
     """
@@ -67,8 +73,8 @@ def blaze_targets(boxes, lms, valid):
 
     from fire_tpu.models.blazeface import blaze_anchors
 
-    anc = jnp.asarray(blaze_anchors()) * INPUT_PX  # (896, 2) px centres
-    cell = jnp.asarray(_CELL_PX)  # (896,)
+    anc = jnp.asarray(blaze_anchors(input_px)) * input_px  # (A, 2) px centres
+    cell = jnp.asarray(_cell_px(input_px))  # (A,)
     ax, ay = anc[:, 0], anc[:, 1]
 
     x, y = boxes[..., 0], boxes[..., 1]
@@ -185,7 +191,8 @@ def jax_sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
-def make_blaze_pool_train_step(model, optimizer, loss_kwargs=None):
+def make_blaze_pool_train_step(model, optimizer, loss_kwargs=None,
+                               input_px: int = INPUT_PX):
     """Jitted ``(state, pool_imgs u8, pool_boxes, pool_lms, pool_valid,
     idx) → (state, loss, metrics)`` sampling from a device-resident
     scene pool (same H2D-free scheme as detect.make_pool_train_step).
@@ -213,18 +220,18 @@ def make_blaze_pool_train_step(model, optimizer, loss_kwargs=None):
 
     def step(state, pool_imgs, pool_boxes, pool_lms, pool_valid, idx):
         frames = pool_imgs[idx]
-        if frames.shape[1:3] == (INPUT_PX, INPUT_PX):
+        if frames.shape[1:3] == (input_px, input_px):
             canvas = frames.astype(jnp.float32)
             scale = jnp.float32(1.0)
         else:
             canvas, scale = letterbox(
-                frames.astype(jnp.bfloat16), (INPUT_PX, INPUT_PX)
+                frames.astype(jnp.bfloat16), (input_px, input_px)
             )
             canvas = canvas.astype(jnp.float32)
         images = canvas[..., ::-1] / 255.0  # cv2-BGR → RGB, [0,1]
         boxes = pool_boxes[idx] * scale
         lms = pool_lms[idx] * scale
-        targets = blaze_targets(boxes, lms, pool_valid[idx])
+        targets = blaze_targets(boxes, lms, pool_valid[idx], input_px)
         params, opt_state = state
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, images, targets
@@ -265,6 +272,11 @@ def main() -> None:
                          "(fine-tune) instead of random init")
     ap.add_argument("--alpha", type=float, default=0.75,
                     help="focal positive weight (focal mode only)")
+    ap.add_argument("--input_px", type=int, default=128,
+                    help="model input resolution (multiple of 16): 128 "
+                         "is the published short-range contract; 192 "
+                         "(2016 anchors) is the round-5 trained-default "
+                         "for a sharper localization tail")
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--pool", type=int, default=1024)
     ap.add_argument("--gen_threads", type=int, default=6)
@@ -335,6 +347,7 @@ def main() -> None:
                      "neg_pos_ratio": args.neg_pos_ratio,
                      "alpha": args.alpha,
                      "box_weight": args.box_weight},
+        input_px=args.input_px,
     )
 
     rng = np.random.default_rng(args.seed + 7)
@@ -385,12 +398,15 @@ def main() -> None:
     log.info("trained BlazeFace variables written to %s", args.out)
 
     if args.eval_scenes:
-        from fire_tpu.config import RecognizerConfig
+        from fire_tpu.config import EngineConfig, RecognizerConfig
         from fire_tpu.pipeline.engine import DeviceEngine
         from fire_tpu.train.detect import detection_pr
 
         cfg = RecognizerConfig(
-            detector_type="mediapipe", weights_dir=None
+            detector_type="mediapipe", weights_dir=None,
+            engine=EngineConfig(
+                blazeface_size=(args.input_px, args.input_px)
+            ),
         ).with_embedding_dim()
         eng = DeviceEngine(cfg)
         eng.load_trained_detector(args.out)

@@ -320,3 +320,44 @@ def test_enroll_starvation_more_than_max_enroll(bse):
     assert delivered2.sum() == 12 - MAX_ENROLL  # the starved 4 re-fired
     assert len(slots1 | slots2) == 12  # every identity reached the host
     assert slots1.isdisjoint(slots2)
+
+
+def test_bucketed_compaction_exact_parity(bse):
+    """Round-5 default: the device-chosen encoder bucket must be
+    EXACTLY equivalent to the legacy full-B·K path (every detection
+    encoded — unlike encode_budget there is no top-N drop), across
+    bursty face counts that cross bucket boundaries mid-run."""
+    b, gal = bse  # default engine: auto bucket ladder
+    b_full = BatchStreamEngine(b.engine, gal, b.cfg, b.tcfg, encode_k=MAXF,
+                               encode_buckets=())  # compaction off
+
+    from fire_tpu.pipeline.batch_engine import _bucket_ladder
+    nk = 8 * MAXF
+    ladder = _bucket_ladder(nk, None)
+    assert ladder[-1] == nk and len(ladder) >= 2  # lossless top rung
+
+    # batch 1: 1 face/frame (small bucket); batch 2: 6 faces/frame
+    # (forces a higher rung); batch 3: mixed counts inside one batch
+    def faces_n(n, ident0=1):
+        return [((2 + 10 * i, 14 + 6 * i, 8, 8), ident0 + i) for i in range(n)]
+
+    batches = [
+        np.stack([_frame(faces_n(1)) for _ in range(8)]),
+        np.stack([_frame(faces_n(6)) for _ in range(8)]),
+        np.stack([_frame(faces_n(1 + (f % 5))) for f in range(8)]),
+    ]
+    for frames in batches:
+        res = b.process_batch(frames)
+        res_f = b_full.process_batch(frames)
+        np.testing.assert_array_equal(res.mask, res_f.mask)
+        np.testing.assert_array_equal(res.tid, res_f.tid)
+        np.testing.assert_array_equal(res.gid, res_f.gid)
+        np.testing.assert_array_equal(res.enroll, res_f.enroll)
+        np.testing.assert_allclose(res.sim, res_f.sim, atol=1e-5)
+        # exactness: every confirmed emission with no gallery yet must
+        # still have fired enroll exactly as the full path did (a
+        # dropped encode would silently stall the unknown streak)
+        np.testing.assert_allclose(
+            np.sort(res.enroll_emb, axis=0), np.sort(res_f.enroll_emb, axis=0),
+            atol=1e-5,
+        )

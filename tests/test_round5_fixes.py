@@ -1,0 +1,196 @@
+"""Round-5 regression tests.
+
+Covers VERDICT r4 items:
+* #9 — the dispatch fast path: hot-path jit entry points must receive
+  only device arrays (an eager numpy arg costs ~130 ms/call on the
+  tunnelled platform — docs/DESIGN.md; engine.py's `_dev` calls and
+  BatchStreamEngine.submit's device_put exist to pin this).
+* #1 plumbing — BlazeFace at the 192² trained-default operating point:
+  anchor table, target/decode round-trip and the engine input size.
+* ADVICE r4 #3 — warm_start_variables must fail loudly on a
+  checkpoint/model leaf-shape mismatch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fire_tpu.models.blazeface import blaze_anchors, decode_blazeface
+from fire_tpu.train.detect_blaze import blaze_targets
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 #9: dispatch fast path
+
+
+def test_batch_engine_hot_path_receives_device_arrays():
+    """BatchStreamEngine.submit must hand its jitted step only device
+    arrays even when the caller passes host numpy frames."""
+    from tests.test_batch_engine import MAXF, _fake_engine, _frame, DIM
+    from fire_tpu.config import RecognizerConfig, TrackerConfig
+    from fire_tpu.gallery.index import DeviceGallery
+    from fire_tpu.pipeline.batch_engine import BatchStreamEngine
+
+    cfg = RecognizerConfig(similarity_threshold=0.7, unknown_trigger_count=1)
+    object.__setattr__(cfg.gallery, "embedding_dim", DIM)
+    gal = DeviceGallery(DIM, capacity=100)
+    b = BatchStreamEngine(_fake_engine(), gal, cfg, TrackerConfig(),
+                          encode_k=MAXF)
+
+    offenders = []
+    orig_build = b._build_step
+
+    def spying_build(frame_hw, batch):
+        fn = orig_build(frame_hw, batch)
+
+        def spy(*args):
+            for leaf in jax.tree_util.tree_leaves(args):
+                if isinstance(leaf, np.ndarray):
+                    offenders.append((type(leaf).__name__, np.shape(leaf)))
+            return fn(*args)
+
+        return spy
+
+    b._build_step = spying_build
+    frames = np.stack([_frame([((10, 20, 16, 16), 3)]) for _ in range(4)])
+    assert isinstance(frames, np.ndarray)  # caller-side host array
+    b.process_batch(frames)
+    assert not offenders, (
+        f"hot-path jit received host numpy arrays: {offenders} — the "
+        "~130 ms/call eager-arg cliff (docs/DESIGN.md) regressed"
+    )
+
+
+def test_engine_detect_hot_path_receives_device_arrays():
+    """DeviceEngine.detect must convert the caller's numpy frame with
+    jax.device_put before hitting the cached jit (engine.py `_dev`)."""
+    from fire_tpu.config import RecognizerConfig
+    from fire_tpu.models.facenet import tiny_facenet
+    from fire_tpu.models.yunet import YuNet
+    from fire_tpu.pipeline.engine import DeviceEngine
+
+    cfg = RecognizerConfig(detector_type="yunet", weights_dir=None)
+    object.__setattr__(cfg.engine, "detect_size", (64, 64))
+    eng = DeviceEngine(cfg, detector=YuNet(width=8, dtype=jnp.float32),
+                       encoder=tiny_facenet(cfg.embedding_dim))
+
+    frame = np.zeros((48, 64, 3), np.uint8)
+    eng.detect(frame)  # compile + cache
+    key = frame.shape[:2]
+    orig = eng._detect_jit_cache[key]
+    offenders = []
+
+    def spy(det_vars, f):
+        if isinstance(f, np.ndarray):
+            offenders.append(("frame", f.shape))
+        for leaf in jax.tree_util.tree_leaves(det_vars):
+            if isinstance(leaf, np.ndarray):
+                offenders.append(("det_vars leaf", np.shape(leaf)))
+        return orig(det_vars, f)
+
+    eng._detect_jit_cache[key] = spy
+    eng.detect(frame)
+    assert not offenders, f"detect hot path got numpy args: {offenders}"
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 #1 plumbing: BlazeFace 192² operating point
+
+
+def test_blaze_anchors_192():
+    a128 = blaze_anchors(128)
+    a192 = blaze_anchors(192)
+    assert a128.shape == (896, 2)      # published short-range contract
+    assert a192.shape == (2016, 2)     # 24×24×2 + 12×12×6
+    assert a192.min() > 0.0 and a192.max() < 1.0
+
+
+def test_blaze_targets_round_trip_192():
+    """Zero-loss targets at 192² must reproduce GT through the
+    production decode at input_px=192 (same decode-inverse contract the
+    128 test pins)."""
+    boxes = np.array([[30.0, 45.0, 66.0, 78.0], [117.0, 105.0, 54.0, 60.0]],
+                     np.float32)
+    lms = np.stack([
+        np.array([[78, 72], [48, 72], [63, 87], [75, 102], [51, 102]],
+                 np.float32),
+        np.array([[159, 126], [129, 126], [144, 138], [156, 150], [132, 150]],
+                 np.float32),
+    ])
+    b = np.zeros((1, 2, 4), np.float32); b[0] = boxes
+    l = np.zeros((1, 2, 5, 2), np.float32); l[0] = lms
+    v = np.ones((1, 2), bool)
+    cls_t, reg_t, wgt, _ = jax.tree.map(
+        np.asarray,
+        blaze_targets(jnp.asarray(b), jnp.asarray(l), jnp.asarray(v), 192),
+    )
+    assert cls_t.shape == (1, 2016)
+    assert cls_t.sum() >= 2
+
+    scores = jnp.asarray(np.where(cls_t > 0, 20.0, -20.0))
+    dets = decode_blazeface(scores, jnp.asarray(reg_t), 1.0,
+                            conf_threshold=0.8, nms_threshold=0.3,
+                            input_px=192)
+    got = np.asarray(dets.boxes_xywh)[np.asarray(dets.mask)]
+    assert got.shape[0] == 2
+    for gt_box in boxes:
+        ious = []
+        for k in range(got.shape[0]):
+            gx, gy, gw, gh = got[k]
+            ix = max(0.0, min(gx + gw, gt_box[0] + gt_box[2]) - max(gx, gt_box[0]))
+            iy = max(0.0, min(gy + gh, gt_box[1] + gt_box[3]) - max(gy, gt_box[1]))
+            inter = ix * iy
+            ious.append(inter / (gw * gh + gt_box[2] * gt_box[3] - inter))
+        assert max(ious) > 0.99
+
+
+def test_engine_blazeface_size_config_and_import_forcing():
+    """EngineConfig.blazeface_size sets the mediapipe slot's input; an
+    imported reference-weight load pins it back to the published 128."""
+    from fire_tpu.config import EngineConfig, RecognizerConfig
+    from fire_tpu.models.blazeface import BlazeFace
+    from fire_tpu.models.facenet import tiny_facenet
+    from fire_tpu.pipeline.engine import DeviceEngine
+
+    cfg = RecognizerConfig(
+        detector_type="mediapipe", weights_dir=None,
+        engine=EngineConfig(blazeface_size=(192, 192)),
+    )
+    eng = DeviceEngine(cfg, detector=BlazeFace(dtype=jnp.float32),
+                       encoder=tiny_facenet(cfg.embedding_dim))
+    assert tuple(eng._detect_input) == (192, 192)
+
+    # detection at 192 runs the decode over 2016 anchors end-to-end
+    # (random-init weights may or may not fire; the contract here is
+    # that the 192 graph compiles and emits the padded Detections)
+    frame = np.zeros((120, 160, 3), np.uint8)
+    dets = eng.detect(frame)
+    assert np.asarray(dets.boxes_xywh).shape == (cfg.engine.max_faces, 4)
+
+    eng._force_blazeface_128()
+    assert tuple(eng._detect_input) == (128, 128)
+    assert not eng._detect_jit_cache  # stale 192 graphs dropped
+
+
+# --------------------------------------------------------------------------
+# ADVICE r4 #3: warm-start shape validation
+
+
+def test_warm_start_shape_mismatch_is_loud(tmp_path):
+    from flax import serialization
+
+    from fire_tpu.train.detect import warm_start_variables
+
+    good = {"params": {"conv": {"kernel": np.zeros((3, 3, 3, 8), np.float32)}}}
+    bad = {"params": {"conv": {"kernel": np.zeros((5, 5, 3, 8), np.float32)}}}
+    p = tmp_path / "ckpt.msgpack"
+    p.write_bytes(serialization.to_bytes(bad))
+    with pytest.raises(ValueError, match="shape mismatch.*conv/kernel"):
+        warm_start_variables(good, str(p))
+
+    # matching shapes load fine and come back as f32 numpy masters
+    p.write_bytes(serialization.to_bytes(good))
+    out = warm_start_variables(good, str(p))
+    leaf = out["params"]["conv"]["kernel"]
+    assert isinstance(leaf, np.ndarray) and leaf.dtype == np.float32
