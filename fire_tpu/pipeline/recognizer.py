@@ -79,6 +79,7 @@ class FaceRecognition:
         self,
         detector_type: str = "yunet",
         align: bool = True,
+        align_video: bool = False,
         encoder_model_type: str = "128",
         encoder_mode: str = "gpu_optimized",
         similarity_threshold: float = 0.5,
@@ -134,6 +135,14 @@ class FaceRecognition:
         self.unknown_trigger_count = unknown_trigger_count
         self.detection_interval = detection_interval
         self.align = align
+        # Landmark-aligned crops in the VIDEO loop (off = reference
+        # parity: face_recognition.py:412-429 encodes the raw track-box
+        # crop).  Alignment is the lever that separates near-threshold
+        # identity pairs the raw crops merge — the retinaface slot's
+        # 4/4 separation vs yunet's seed-0 merge traced to crop quality
+        # (README round-4/5 A/B) — so it is exposed per-run here and as
+        # --align_video on the CLI.
+        self.align_video = align_video
         self.show = show
         self.enable_logging = enable_logging
         self.interested_label = interested_label
@@ -539,20 +548,44 @@ class FaceRecognition:
             if bw <= 0 or bh <= 0:
                 log.warning("Face image has zero size for track ID %s. Skipping.", trk["id"])
                 continue
-            to_encode.append((trk["id"], [x, y, bw, bh]))
+            to_encode.append((trk["id"], [x, y, bw, bh], trk.get("src_det", -1)))
 
-        # one batched encode for every new face in the frame
+        # one batched encode for every new face in the frame.  With
+        # align_video on, tracks that were updated by a detection THIS
+        # frame encode a landmark-aligned crop (src_det → the
+        # detection's 5-pt landmarks, 3-pt affine on device); coasting
+        # tracks fall back to the raw box crop.
         embs = {}
         if to_encode:
             t0 = time.time()
-            boxes = np.asarray([b for _, b in to_encode], np.float32)
-            batch = self.engine.encode_boxes(image_dev, boxes)
+            lms_of = {}
+            if self.align_video and self.frame_index % self.detection_interval == 0:
+                for si, d in enumerate(detected):
+                    lm = np.asarray(d.get("landmarks", ()), np.float32)
+                    if lm.shape == (5, 2) and np.abs(lm).sum() > 0:
+                        # (left_eye, right_eye, nose) — Detections order
+                        # is (right, left, nose, ...), landmarks3 swap
+                        lms_of[si] = lm[[1, 0, 2]]
+            ali = [(i, lms_of[src]) for i, (_, _, src) in enumerate(to_encode)
+                   if src in lms_of]
+            rest = [i for i in range(len(to_encode)) if i not in {j for j, _ in ali}]
+            batch = np.zeros((len(to_encode), self.embedding_dim), np.float32)
+            if ali:
+                lms3 = np.stack([l for _, l in ali])
+                out = self.engine.encode_landmarks(image_dev, lms3)
+                for (i, _), e in zip(ali, out):
+                    batch[i] = e
+            if rest:
+                boxes = np.asarray([to_encode[i][1] for i in rest], np.float32)
+                out = self.engine.encode_boxes(image_dev, boxes)
+                for i, e in zip(rest, out):
+                    batch[i] = e
             self.timer.add("encoding", time.time() - t0)
             # one batched gallery query for the same faces
             gal_ids, gal_dists = (None, None)
             if self.gallery.count > 0:
                 gal_ids, gal_dists = self._matcher.query_batch(batch, k=1)
-            for i, (tid, _) in enumerate(to_encode):
+            for i, (tid, _, _src) in enumerate(to_encode):
                 embs[tid] = (
                     batch[i],
                     None if gal_ids is None else int(gal_ids[i][0]),

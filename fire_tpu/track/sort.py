@@ -254,15 +254,19 @@ def sort_step(
 
 @jax.jit
 def _pack_outputs(out: TrackOutputs) -> jnp.ndarray:
-    """(7T,) **int32**: tid ‖ boxes(4) ‖ age ‖ mask — one readback.
+    """(8T,) **int32**: tid ‖ boxes(4) ‖ age ‖ mask ‖ src_det — one
+    readback.
 
     The carrier must be int32, not f32: bit-casting small ints into f32
     produces denormals, and the TPU compute/transfer path flushes
     denormals to zero (verified on hardware — every id/box < 2^23 read
-    back as 0).  Integer lanes are exact at any magnitude."""
+    back as 0).  Integer lanes are exact at any magnitude.  src_det
+    (the detection that updated/spawned each track this frame) rides
+    along so the host can attach per-detection payloads — e.g. the
+    landmark-aligned encode path (VERDICT r4 #6)."""
     return jnp.concatenate([
         out.tid, out.boxes.reshape(-1).astype(jnp.int32), out.age,
-        out.mask.astype(jnp.int32),
+        out.mask.astype(jnp.int32), out.src_det,
     ])
 
 
@@ -324,13 +328,15 @@ class Sort:
             # on device: zero assignment readbacks
             self.table, out = sort_step(self.table, jb, jm, cfg)
 
-        # ONE int32 readback for the outputs (tid ‖ boxes ‖ age ‖ mask)
-        # — was 4 separate transfers (VERDICT r1 #7)
+        # ONE int32 readback for the outputs (tid ‖ boxes ‖ age ‖ mask ‖
+        # src_det) — was 4 separate transfers (VERDICT r1 #7)
         buf = np.asarray(_pack_outputs(out))
-        t = buf.shape[0] // 7
+        t = buf.shape[0] // 8
         tids, boxes, ages = buf[:t], buf[t : 5 * t].reshape(t, 4), buf[5 * t : 6 * t]
-        mask = buf[6 * t :] > 0
+        mask = buf[6 * t : 7 * t] > 0
+        src = buf[7 * t :]
         return [
-            {"id": int(tids[i]), "bbox": [int(v) for v in boxes[i]], "age": int(ages[i])}
+            {"id": int(tids[i]), "bbox": [int(v) for v in boxes[i]],
+             "age": int(ages[i]), "src_det": int(src[i])}
             for i in np.nonzero(mask)[0]
         ]

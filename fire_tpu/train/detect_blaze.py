@@ -86,16 +86,32 @@ def blaze_targets(boxes, lms, valid, input_px: int = INPUT_PX):
     dy = jnp.abs(ay[None, None, :] - cy[..., None])
     tol_x = jnp.maximum(bw[..., None] / 4.0, cell[None, None, :] / 2.0)
     tol_y = jnp.maximum(bh[..., None] / 4.0, cell[None, None, :] / 2.0)
-    pos = (dx <= tol_x) & (dy <= tol_y) & valid[..., None]
-    # Ignore band: only the ring just outside the positive tolerance
-    # stays unsupervised.  Round-4 lesson (see retina_targets): ignoring
-    # the whole in-box area left periphery anchors — whose regression is
-    # also untrained — free to score anything; at deploy they fired
-    # garbage boxes through the confidence threshold.  Anchors at a
-    # face's periphery now train as negatives.
+    # Scale-aware grid ownership (round 5).  The round-4 matching made
+    # BOTH grids positive for every face; a 144-px face then trained
+    # ~160 stride-8 anchors whose receptive fields see only a patch of
+    # it — their size regressions disagreed at deploy, and the
+    # resulting confident-but-mutually-inconsistent boxes slipped past
+    # NMS as duplicates (the measured FP budget: 89 dup-of-TP + 46
+    # face-fragments of 138 total at P 0.57).  SSD's remedy is scale
+    # assignment: the stride-8 head owns faces ≤ 8·cell = 64 input px,
+    # the stride-16 head owns ≥ 48 px (the 48-64 band trains on both so
+    # every size keeps an owner); wrong-scale anchors train as
+    # NEGATIVES — they must learn to score 0 on faces they cannot
+    # regress, which is exactly the suppression the decode needs.
+    size = jnp.maximum(bw, bh)[..., None]  # (B, F, 1) input px
+    scale_fit = jnp.where(cell[None, None, :] <= 8.0,
+                          size <= 64.0, size >= 48.0)
+    pos = (dx <= tol_x) & (dy <= tol_y) & scale_fit & valid[..., None]
+    # Ignore band: only the ring just outside the positive tolerance ON
+    # THE OWNING GRID stays unsupervised.  Round-4 lesson (see
+    # retina_targets): ignoring the whole in-box area left periphery
+    # anchors — whose regression is also untrained — free to score
+    # anything; at deploy they fired garbage boxes through the
+    # confidence threshold.  Periphery and wrong-scale anchors train as
+    # negatives.
     ign_x = dx <= jnp.minimum(2.0 * tol_x, bw[..., None] / 2.0)
     ign_y = dy <= jnp.minimum(2.0 * tol_y, bh[..., None] / 2.0)
-    inbox = ign_x & ign_y & valid[..., None]
+    inbox = ign_x & ign_y & scale_fit & valid[..., None]
 
     # per-anchor owner face = nearest centre among faces claiming it
     d2 = dx * dx + dy * dy

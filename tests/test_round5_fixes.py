@@ -194,3 +194,76 @@ def test_warm_start_shape_mismatch_is_loud(tmp_path):
     out = warm_start_variables(good, str(p))
     leaf = out["params"]["conv"]["kernel"]
     assert isinstance(leaf, np.ndarray) and leaf.dtype == np.float32
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 #6: landmark-aligned crops in the video loop
+
+
+def test_align_video_routes_through_encode_landmarks(tmp_path):
+    """With align_video=True, a track updated by a detection THIS frame
+    encodes an aligned crop (engine.encode_landmarks receives the
+    detection's 3-pt landmarks via the tracker's src_det); coasting /
+    landmark-less detections fall back to box crops."""
+    from tests.test_pipeline import FakeEngine
+    from fire_tpu.config import TrackerConfig
+    from fire_tpu.pipeline.recognizer import FaceRecognition
+
+    class AlignSpyEngine(FakeEngine):
+        def __init__(self):
+            super().__init__()
+            self.lms_calls = []
+
+        def detect_faces(self, image):
+            dets = super().detect_faces(image)
+            for d in dets:  # nonzero landmarks → alignable
+                x, y, w, h = d["bbox"]
+                d["landmarks"] = np.asarray(
+                    [[x + 3 * w // 4, y + h // 3],   # right eye
+                     [x + w // 4, y + h // 3],       # left eye
+                     [x + w // 2, y + h // 2],       # nose
+                     [x + 2 * w // 3, y + 3 * h // 4],
+                     [x + w // 3, y + 3 * h // 4]], np.int32)
+            return dets
+
+        def encode_landmarks(self, image, lms3):
+            self.lms_calls.append(np.asarray(lms3).copy())
+            # identity from the nose point (scene boxes carry identity)
+            out = []
+            for lm in lms3:
+                nose = lm[2]
+                box = [nose[0] - 1, nose[1] - 1, 2, 2]
+                out.append(self.codebook[self._ident_for_box(box)])
+            return np.stack(out)
+
+    eng = AlignSpyEngine()
+    fr = FaceRecognition(
+        detector_type="yunet", align_video=True, encoder_model_type="128",
+        similarity_threshold=0.7, unknown_trigger_count=1,
+        detection_interval=1, enable_logging=False,
+        storage_root=str(tmp_path / "storage"), engine=eng,
+        tracker_cfg=TrackerConfig(),
+    )
+    eng.scene = [([100, 100, 80, 80], 5)]
+    out = []
+    for _ in range(6):
+        out = fr.recognize_faces(np.zeros((480, 640, 3), np.uint8))
+    assert eng.lms_calls, "align_video never reached encode_landmarks"
+    # lms3 rows are (left_eye, right_eye, nose): left x < right x
+    lm = eng.lms_calls[0][0]
+    assert lm[0][0] < lm[1][0]
+    assert out and out[0]["label"].startswith("Unknown")
+    fr.close()
+
+
+def test_sort_update_exposes_src_det():
+    from fire_tpu.config import TrackerConfig
+    from fire_tpu.track.sort import Sort
+
+    s = Sort(TrackerConfig())
+    tracks = []
+    for _ in range(5):
+        tracks = s.update([{"bbox": [10, 10, 20, 20]},
+                           {"bbox": [100, 100, 20, 20]}])
+    assert tracks and all("src_det" in t for t in tracks)
+    assert sorted(t["src_det"] for t in tracks) == [0, 1]
