@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference ONNX weights' operating point; use 512 "
                         "with weights from `python -m fire_tpu.train."
                         "detect_retina`, which trains at that size)")
+    p.add_argument("--blazeface_size", type=int, default=None,
+                   help="mediapipe-slot input size (default: 128, the "
+                        "published short-range contract, when reference "
+                        "TFLite/ONNX weights exist; 192 when falling back "
+                        "to the committed trained default, which is "
+                        "trained at that size — round 5)")
     p.add_argument("--no_default_weights", action="store_true",
                    help="Skip auto-loading the committed weights_trained/ "
                         "defaults when no reference ONNX/TFLite files are "
@@ -96,13 +102,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-# committed trained defaults per detector slot / encoder width
+# committed trained defaults per detector slot / encoder width.  The
+# mediapipe slot's trained default operates at 192² (2016 anchors —
+# round 5: scale-aware anchor ownership, held-out P 0.95 / R 0.94);
+# the 128² file is the published-contract fallback for
+# --blazeface_size 128 (held-out P 0.74 — prefer 192).
 _TRAINED_DEFAULTS = {
     "yunet": "yunet_synth.msgpack",
-    "mediapipe": "blazeface_synth.msgpack",
-    "blazeface": "blazeface_synth.msgpack",
+    "mediapipe": "blazeface192_synth.msgpack",
+    "blazeface": "blazeface192_synth.msgpack",
     "retinaface": "retinaface_synth.msgpack",
 }
+_TRAINED_BLAZE_128 = "blazeface_synth.msgpack"
 
 
 def _load_trained_defaults(face_recog, args) -> None:
@@ -122,6 +133,11 @@ def _load_trained_defaults(face_recog, args) -> None:
         return  # stubbed/foreign engine: nothing to probe
     if eng.weight_source["detector"] == "random-init":
         fname = _TRAINED_DEFAULTS.get(args.detector)
+        if (args.detector in ("mediapipe", "blazeface")
+                and getattr(args, "blazeface_size", None) == 128):
+            # explicit 128 = the published contract; its trained file
+            # is weaker (P 0.74) but matches the requested input
+            fname = _TRAINED_BLAZE_128
         path = os.path.join(wdir, fname) if fname else None
         if args.detector == "retinaface" and args.retinaface_size != 512:
             # the committed retinaface weights are trained at 512; at any
@@ -177,13 +193,47 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                 "to the committed 512-input trained weights (override with "
                 "--retinaface_size / --no_default_weights).", args.weights_dir)
 
+    # Same trained-default sizing for the mediapipe slot: its committed
+    # weights are trained at 192 (2016 anchors, round 5).  When the user
+    # gave no explicit size and no usable reference TFLite/ONNX exists,
+    # run the slot at 192; reference imports force 128 regardless
+    # (engine._force_blazeface_128), so this default can never misapply
+    # the published contract to real MediaPipe weights.
+    if (args.detector in ("mediapipe", "blazeface")
+            and args.blazeface_size is None
+            and not args.no_default_weights and args.trained_detector is None):
+        import os
+
+        wd = args.weights_dir or "weights"
+        usable_ref = any(
+            os.path.exists(os.path.join(wd, f))
+            and os.path.getsize(os.path.join(wd, f)) > 100_000
+            for f in ("face_detection_short_range.tflite", "blazeface.tflite",
+                      "blazeface.onnx", "face_detection_short_range.onnx")
+        )
+        trained = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "weights_trained", _TRAINED_DEFAULTS["mediapipe"])
+        if not usable_ref and os.path.exists(trained):
+            args.blazeface_size = 192
+            logging.info(
+                "mediapipe: no usable reference TFLite/ONNX under %r — "
+                "defaulting to the committed 192-input trained weights "
+                "(override with --blazeface_size / --no_default_weights).",
+                args.weights_dir)
+
     engine_cfg = None
-    if args.retinaface_size:
+    if args.retinaface_size or args.blazeface_size:
         from fire_tpu.config import EngineConfig
 
-        engine_cfg = EngineConfig(
-            retinaface_size=(args.retinaface_size, args.retinaface_size)
-        )
+        size_kw = {}
+        if args.retinaface_size:
+            size_kw["retinaface_size"] = (
+                args.retinaface_size, args.retinaface_size)
+        if args.blazeface_size:
+            size_kw["blazeface_size"] = (
+                args.blazeface_size, args.blazeface_size)
+        engine_cfg = EngineConfig(**size_kw)
 
     face_recog = FaceRecognition(
         detector_type=args.detector,

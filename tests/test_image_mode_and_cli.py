@@ -177,9 +177,18 @@ def test_cli_autoloads_trained_defaults(monkeypatch, tmp_path):
         lambda p: True if "weights_trained" in str(p) else real_exists(p),
     )
     img = str(tmp_path / "f.jpg")
+    # default: the round-5 192-input trained weights (and the engine is
+    # sized for them via blazeface_size=192)
     cli.main(["--mode", "image", "--input", img, "--detector", "mediapipe"])
     (kind, path), = [c for c in made[-1].engine.loaded if c[0] == "det"]
-    assert kind == "det" and path.endswith("blazeface_synth.msgpack")
+    assert kind == "det" and path.endswith("blazeface192_synth.msgpack")
+
+    # explicit 128 = the published contract: the weaker 128-trained
+    # fallback file matches the requested input size
+    cli.main(["--mode", "image", "--input", img, "--detector", "mediapipe",
+              "--blazeface_size", "128"])
+    (kind, path), = [c for c in made[-1].engine.loaded if c[0] == "det"]
+    assert path.endswith("blazeface_synth.msgpack") and "192" not in path
 
     cli.main(["--mode", "image", "--input", img, "--detector", "mediapipe",
               "--no_default_weights"])
