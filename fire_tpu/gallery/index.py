@@ -57,19 +57,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+# NOTE on donation (round-5 hardening): these writes used
+# donate_argnums=(0, 1) through round 4.  That aliases buffers a queued
+# computation may still read: the pipelined stream loop submits batch
+# i+1 (whose async step captures gal16), then collect(i)'s enrollment
+# flush donates the SAME buffer for the row write.  Mature PJRT
+# backends copy-on-donate under outstanding usage holds, but this
+# platform is experimental and the r1-r4 random-weight benches never
+# enrolled mid-flight, so the pattern was never actually exercised.
+# A non-donated update copies the 300 MB master+shadow once per flush
+# — ~0.4 ms of HBM bandwidth, the correct price for never aliasing a
+# possibly-live operand.
+@jax.jit
 def _set_row(gal: jnp.ndarray, gal16: jnp.ndarray, idx, vec):
-    """In-place (donated) row write into the f32 master AND its bf16
-    matmul shadow — enrollments never reallocate the full HBM matrix."""
+    """Row write into the f32 master AND its bf16 matmul shadow."""
     return gal.at[idx].set(vec), gal16.at[idx].set(vec.astype(jnp.bfloat16))
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+@jax.jit
 def _set_rows(gal: jnp.ndarray, gal16: jnp.ndarray, start, block):
-    """Contiguous multi-row (donated) write: one dispatch for a whole
-    burst of enrollments.  ``block`` is zero-padded to a bucket size so
-    only a handful of shapes ever compile; padding rows land beyond
-    ``count`` where every query masks them out."""
+    """Contiguous multi-row write: one dispatch for a whole burst of
+    enrollments.  ``block`` is zero-padded to a bucket size so only a
+    handful of shapes ever compile; padding rows land beyond ``count``
+    where every query masks them out."""
     gal = jax.lax.dynamic_update_slice(gal, block, (start, 0))
     gal16 = jax.lax.dynamic_update_slice(
         gal16, block.astype(jnp.bfloat16), (start, 0)
