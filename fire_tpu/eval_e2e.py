@@ -34,13 +34,15 @@ def _iou(a, b) -> float:
 
 
 def score_video(fr, video_path: str, gt, iou_thresh: float = 0.5,
-                batch_size: int = 0) -> Dict[str, float]:
+                batch_size: int = 0, encode_k: int = 8) -> Dict[str, float]:
     """Run ``fr`` over the video and score against per-frame GT.
 
     ``gt``: [(boxes (N, 4), ident_keys)] per frame, as returned by
     render_scene_video.  ``batch_size`` > 0 uses the batched device
     pipeline (emissions collected via a capture hook); 0 runs the
-    classic per-frame path.
+    classic per-frame path.  ``encode_k`` must cover the densest frame
+    (faces beyond it are deterministically truncated to the top-k by
+    score — the documented crowd contract, tests/test_crowd_scale.py).
     """
     import cv2
 
@@ -54,7 +56,8 @@ def score_video(fr, video_path: str, gt, iou_thresh: float = 0.5,
 
         cap = cv2.VideoCapture(video_path)
         bse = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg,
-                                detection_interval=max(fr.detection_interval, 1))
+                                detection_interval=max(fr.detection_interval, 1),
+                                encode_k=encode_k)
         reader = PrefetchReader(cap)
         batch = []
         for frame in reader.frames():
@@ -157,20 +160,48 @@ def run_matrix(args) -> None:
     enc_w = args.trained or os.path.join(wdir, "facenet512_synth.msgpack")
 
     batch = args.batch_size or 48
+    # The mediapipe slot is MediaPipe's SHORT-RANGE operating envelope
+    # (faces within ~2 m of the camera — the published spec of the
+    # model the reference wires in, mediapipe_face_detector.py:13-33).
+    # At 1080p its 192² letterbox shrinks a 140-px face to 14 input px,
+    # far below the envelope either the reference weights or ours were
+    # trained for — measured here: 0 detections at 140 px, full recall
+    # from ~480 px (≈48 px at the 192 input).  So mediapipe rows score
+    # on a close-range GT video (fewer, larger faces), like pointing a
+    # selfie camera at a meeting, and the table says so.
+    close_slots = {"mediapipe"}
     rows = []
     for seed in range(args.seeds):
         tmp = tempfile.mkdtemp(prefix=f"fire_e2e_m{seed}_")
-        video = os.path.join(tmp, "gt.avi")
-        idents = make_identities(args.identities, seed=seed + 50)
-        gt = render_scene_video(
-            video, idents, hw=(args.height, args.width),
-            n_frames=args.frames, face_px=args.face_px, seed=seed,
-        )
-        print(f"[matrix] seed {seed}: video rendered "
-              f"({args.frames}f {args.width}x{args.height}, "
-              f"{args.identities} ids)", file=sys.stderr, flush=True)
+        scenarios = {}  # scenario name -> (video, gt, n_ids, face_px)
+        need_far = any(s not in close_slots for s in args.slots)
+        need_close = any(s in close_slots for s in args.slots)
+        if need_far:
+            video = os.path.join(tmp, "gt.avi")
+            idents = make_identities(args.identities, seed=seed + 50)
+            gt = render_scene_video(
+                video, idents, hw=(args.height, args.width),
+                n_frames=args.frames, face_px=args.face_px, seed=seed,
+            )
+            scenarios["far"] = (video, gt, args.identities, args.face_px)
+        if need_close:
+            n_close = min(args.mediapipe_identities, args.identities)
+            videoc = os.path.join(tmp, "gt_close.avi")
+            identsc = make_identities(n_close, seed=seed + 50)
+            gtc = render_scene_video(
+                videoc, identsc, hw=(args.height, args.width),
+                n_frames=args.frames, face_px=args.mediapipe_face_px,
+                seed=seed,
+            )
+            scenarios["close"] = (videoc, gtc, n_close,
+                                  args.mediapipe_face_px)
+        print(f"[matrix] seed {seed}: rendered {sorted(scenarios)} "
+              f"({args.frames}f {args.width}x{args.height})",
+              file=sys.stderr, flush=True)
         for slot in args.slots:
             sc = slot_cfg[slot]
+            video, gt, n_ids, face_px = scenarios[
+                "close" if slot in close_slots else "far"]
             for interval in (1, 3):
                 fr = FaceRecognition(
                     detector_type=slot,
@@ -187,18 +218,22 @@ def run_matrix(args) -> None:
                     engine_cfg=EngineConfig(**sc["engine"]) if sc["engine"]
                     else None,
                 )
-                m = score_video(fr, video, gt, batch_size=batch)
+                m = score_video(fr, video, gt, batch_size=batch,
+                                encode_k=max(8, n_ids))
                 fr.close()
-                m.update({"slot": slot, "interval": interval, "seed": seed})
+                m.update({"slot": slot, "interval": interval, "seed": seed,
+                          "ids": n_ids, "face_px": face_px})
                 rows.append(m)
                 print(json.dumps(m), flush=True)
 
     # README-pasteable summary
-    print("\n| slot | interval | seed | det recall | det precision | "
-          "id consistency | id separation |", file=sys.stderr)
-    print("|---|---|---|---|---|---|---|", file=sys.stderr)
+    print("\n| slot | interval | seed | ids | face px | det recall | "
+          "det precision | id consistency | id separation |",
+          file=sys.stderr)
+    print("|---|---|---|---|---|---|---|---|---|", file=sys.stderr)
     for m in rows:
         print(f"| {m['slot']} | {m['interval']} | {m['seed']} | "
+              f"{m['ids']} | {m['face_px']} | "
               f"{m['det_recall']:.3f} | {m['det_precision']:.3f} | "
               f"{m['id_consistency']:.3f} | {m['id_separation']:.3f} |",
               file=sys.stderr)
@@ -258,6 +293,13 @@ def main() -> None:
                          "combo + a final markdown table")
     ap.add_argument("--seeds", type=int, default=3,
                     help="matrix mode: number of seeds")
+    ap.add_argument("--mediapipe_face_px", type=int, default=480,
+                    help="matrix mode: face size for the mediapipe "
+                         "slot's close-range GT video (the short-range "
+                         "envelope: ≈48 px at the 192² input)")
+    ap.add_argument("--mediapipe_identities", type=int, default=4,
+                    help="matrix mode: identities on the close-range "
+                         "video (large faces need screen room)")
     ap.add_argument("--slots", nargs="+",
                     default=["yunet", "retinaface", "mediapipe"],
                     help="matrix mode: detector slots to sweep")

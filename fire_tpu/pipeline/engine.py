@@ -181,23 +181,37 @@ class DeviceEngine:
         self.det_vars = _materialize(det_shapes, seed + 1)
 
         path = self._params_path()
+        loaded = False
         if path and os.path.exists(path):
-            with open(path, "rb") as f:
-                blob = f.read()
-            state = serialization.from_bytes(
-                {"enc": self.enc_vars, "det": self.det_vars}, blob
-            )
-            # from_bytes yields numpy leaves; committed device arrays
-            # keep every later jit call on the C++ fast path (a numpy
-            # leaf in a ~500-leaf tree costs ~130 ms/call in Python
-            # dispatch on this host — docs/DESIGN.md §4)
-            self.enc_vars = jax.tree.map(jnp.asarray, state["enc"])
-            self.det_vars = jax.tree.map(jnp.asarray, state["det"])
-            log.info("Loaded model parameters from %s.", path)
-        elif path:
+            try:
+                with open(path, "rb") as f:
+                    blob = f.read()
+                state = serialization.from_bytes(
+                    {"enc": self.enc_vars, "det": self.det_vars}, blob
+                )
+                # from_bytes yields numpy leaves; committed device arrays
+                # keep every later jit call on the C++ fast path (a numpy
+                # leaf in a ~500-leaf tree costs ~130 ms/call in Python
+                # dispatch on this host — docs/DESIGN.md §4)
+                self.enc_vars = jax.tree.map(jnp.asarray, state["enc"])
+                self.det_vars = jax.tree.map(jnp.asarray, state["det"])
+                log.info("Loaded model parameters from %s.", path)
+                loaded = True
+            except Exception as e:
+                # Same recovery contract as the gallery index: corrupt
+                # state on disk (truncated write, wrong model config) is
+                # regenerated, never fatal (SURVEY §5 failure recovery).
+                log.warning(
+                    "Params cache %s is unreadable (%s); regenerating "
+                    "from fresh init.", path, e)
+        if path and not loaded:
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "wb") as f:
+            # atomic replace: a killed process must not leave a
+            # truncated cache for the next session to trip over
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
                 f.write(serialization.to_bytes({"enc": self.enc_vars, "det": self.det_vars}))
+            os.replace(tmp, path)
             log.info("Saved freshly initialized model parameters to %s "
                      "(embeddings stay stable across sessions).", path)
 

@@ -570,22 +570,38 @@ class FaceRecognition:
                    if src in lms_of]
             rest = [i for i in range(len(to_encode)) if i not in {j for j, _ in ali}]
             batch = np.zeros((len(to_encode), self.embedding_dim), np.float32)
+            bad = set()  # wrong-dim embeddings are skipped, never
+            # matched or enrolled (face_recognition.py:436-439)
+
+            def _store(i, e):
+                e = np.asarray(e, np.float32).reshape(-1)
+                if e.shape[0] != self.embedding_dim:
+                    log.error(
+                        "Embedding size mismatch for track %s: got %d, "
+                        "expected %d. Skipping.",
+                        to_encode[i][0], e.shape[0], self.embedding_dim)
+                    bad.add(i)
+                else:
+                    batch[i] = e
+
             if ali:
                 lms3 = np.stack([l for _, l in ali])
                 out = self.engine.encode_landmarks(image_dev, lms3)
                 for (i, _), e in zip(ali, out):
-                    batch[i] = e
+                    _store(i, e)
             if rest:
                 boxes = np.asarray([to_encode[i][1] for i in rest], np.float32)
                 out = self.engine.encode_boxes(image_dev, boxes)
                 for i, e in zip(rest, out):
-                    batch[i] = e
+                    _store(i, e)
             self.timer.add("encoding", time.time() - t0)
             # one batched gallery query for the same faces
             gal_ids, gal_dists = (None, None)
             if self.gallery.count > 0:
                 gal_ids, gal_dists = self._matcher.query_batch(batch, k=1)
             for i, (tid, _, _src) in enumerate(to_encode):
+                if i in bad:
+                    continue
                 embs[tid] = (
                     batch[i],
                     None if gal_ids is None else int(gal_ids[i][0]),

@@ -88,3 +88,37 @@ def test_out_of_frame_track_skipped(tmp_path):
         out = fr.recognize_faces(np.zeros((100, 100, 3), np.uint8))
     assert out == []
     assert fr.gallery.count == 0
+
+
+def test_corrupt_params_cache_regenerates(tmp_path):
+    """A truncated params cache (e.g. a killed process mid-write) must
+    regenerate from fresh init, not crash engine construction — the
+    same recovery contract as the gallery index (SURVEY §5)."""
+    import os
+
+    from fire_tpu.config import EngineConfig, RecognizerConfig
+    from fire_tpu.models.facenet import tiny_facenet
+    from fire_tpu.models.yunet import YuNet
+    from fire_tpu.pipeline.engine import DeviceEngine
+
+    import jax.numpy as jnp
+
+    cfg = RecognizerConfig(
+        detector_type="yunet", encoder_model_type="128", weights_dir=None,
+        engine=EngineConfig(detect_size=(64, 64), encode_size=(96, 96)),
+    ).with_embedding_dim()
+    pdir = str(tmp_path / "params")
+
+    def make():
+        return DeviceEngine(
+            cfg, detector=YuNet(width=8, dtype=jnp.float32),
+            encoder=tiny_facenet(128, dtype=jnp.float32), params_dir=pdir)
+
+    eng = make()
+    path = eng._params_path()
+    assert os.path.exists(path)
+    blob = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(blob[: len(blob) // 2])  # truncated mid-write
+    eng2 = make()  # must not raise
+    assert os.path.getsize(eng2._params_path()) == len(blob)
