@@ -133,6 +133,7 @@ def run_matrix(args) -> None:
     import os
     import sys
     import tempfile
+    import time
 
     from fire_tpu.config import EngineConfig
     from fire_tpu.pipeline.recognizer import FaceRecognition
@@ -159,7 +160,22 @@ def run_matrix(args) -> None:
         slot_cfg["mediapipe"]["engine"] = {"blazeface_size": (128, 128)}
     enc_w = args.trained or os.path.join(wdir, "facenet512_synth.msgpack")
 
+    # Every (slot, interval) cell builds a fresh jitted step, so across
+    # seeds the same program would recompile from scratch — the disk
+    # compilation cache turns those into fetches (the dominant cost of
+    # a matrix row is XLA compile time, not compute).
+    try:
+        import jax
+
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(tempfile.gettempdir(), "fire_xla_cache"))
+    except Exception:
+        pass
+
     batch = args.batch_size or 48
+    batch = ((batch + 5) // 6) * 6  # divisible by both intervals {1, 3}
     # The mediapipe slot is MediaPipe's SHORT-RANGE operating envelope
     # (faces within ~2 m of the camera — the published spec of the
     # model the reference wires in, mediapipe_face_detector.py:13-33).
@@ -218,11 +234,13 @@ def run_matrix(args) -> None:
                     engine_cfg=EngineConfig(**sc["engine"]) if sc["engine"]
                     else None,
                 )
+                t_row = time.time()
                 m = score_video(fr, video, gt, batch_size=batch,
                                 encode_k=max(8, n_ids))
                 fr.close()
                 m.update({"slot": slot, "interval": interval, "seed": seed,
-                          "ids": n_ids, "face_px": face_px})
+                          "ids": n_ids, "face_px": face_px,
+                          "row_s": round(time.time() - t_row, 1)})
                 rows.append(m)
                 print(json.dumps(m), flush=True)
 
