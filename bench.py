@@ -90,6 +90,41 @@ def _init_backend_with_retry(max_tries: int = 8, delay_s: float = 90.0):
     raise RuntimeError(f"backend unavailable after {max_tries} tries") from last
 
 
+def _leg(label: str, seconds: float, fn, default=None):
+    """Run one bench leg with a hard deadline.
+
+    The dev tunnel can stall mid-run for tens of minutes (observed
+    2026-08-20: a healthy run froze inside a device call after 520 s and
+    never returned).  A stalled leg must not take the whole round's
+    perf evidence with it: the leg body runs in a daemon thread; on
+    timeout the thread is abandoned (it is blocked inside a C device
+    call and cannot be interrupted) and the bench moves on to print the
+    JSON with every leg that DID complete.  ``main`` ends with
+    ``os._exit`` so abandoned threads cannot wedge interpreter exit.
+    """
+    import threading
+
+    box = {}
+
+    def run():
+        try:
+            box["v"] = fn()
+        except Exception as e:  # noqa: BLE001 — a leg never kills the bench
+            box["e"] = e
+
+    th = threading.Thread(target=run, daemon=True, name=f"leg-{label}")
+    th.start()
+    th.join(seconds)
+    if th.is_alive():
+        _log(f"{label}: ABANDONED after {seconds:.0f}s (device/tunnel "
+             "stall) — continuing with what's measured")
+        return default, False
+    if "e" in box:
+        _log(f"{label} skipped: {box['e']}")
+        return default, False
+    return box["v"], True
+
+
 def _pipelined_fps(bse, stream_results, fr, batch_dev, B, n_steps, trials):
     """Timed submit/collect loop with one batch in flight."""
     fps = []
@@ -136,56 +171,78 @@ def main() -> None:
     _log(f"tunnel H2D: {h2d_mbps:.1f} MB/s")
 
     storage = tempfile.mkdtemp(prefix="fire_bench_")
-    fr = FaceRecognition(
-        detector_type="yunet",
-        encoder_model_type="512",
-        similarity_threshold=0.7,
-        unknown_trigger_count=1,
-        detection_interval=1,
-        enable_logging=False,
-        storage_root=storage,
-        tracker_cfg=TrackerConfig(assignment="hungarian"),
-    )
-    # committed trained weights: the detector really finds the rendered
-    # faces, so the exact bucketed compaction's device-chosen bucket
-    # reflects the declared 1-face/frame workload (not detector noise)
-    fr.engine.load_trained_detector(
-        os.path.join(REPO, "weights_trained", "yunet_synth.msgpack"))
-    fr.engine.load_trained_encoder(
-        os.path.join(REPO, "weights_trained", "facenet512_synth.msgpack"))
 
-    # ~100k-identity gallery (the reference's hard cap,
-    # modules/hnsw_manager.py:29) so every match is a full-scale search.
-    # 100 rows of headroom are left under the cap so the bench's
-    # enrollments REALLY persist (SQLite insert + journal append) —
-    # persistence is ON in the headline since round 3 (VERDICT r2 #9);
-    # the journal-incremental save costs ~2 KB/enrollment, not a 200 MB
-    # snapshot rewrite.
-    rng = np.random.default_rng(0)
-    gal = rng.standard_normal((99_900, 512)).astype(np.float32)
-    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
-    fr.gallery.load_rows(
-        (i + 1, f"person_{i}", gal[i].tobytes()) for i in range(gal.shape[0])
-    )
-    # one-time compacted snapshot (untimed setup): trials then pay only
-    # the incremental journal appends, as a long-running deployment would
-    fr.gallery.save(compact=True)
+    def _setup():
+        fr = FaceRecognition(
+            detector_type="yunet",
+            encoder_model_type="512",
+            similarity_threshold=0.7,
+            unknown_trigger_count=1,
+            detection_interval=1,
+            enable_logging=False,
+            storage_root=storage,
+            tracker_cfg=TrackerConfig(assignment="hungarian"),
+        )
+        # committed trained weights: the detector really finds the rendered
+        # faces, so the exact bucketed compaction's device-chosen bucket
+        # reflects the declared 1-face/frame workload (not detector noise)
+        fr.engine.load_trained_detector(
+            os.path.join(REPO, "weights_trained", "yunet_synth.msgpack"))
+        fr.engine.load_trained_encoder(
+            os.path.join(REPO, "weights_trained", "facenet512_synth.msgpack"))
 
-    # 1080p frames: rendered scenes with EXACTLY one face each (the
-    # reference headline video's workload shape — one webcam subject).
-    # Decode cost is not the metric; the reference reads frames outside
-    # its FPS loop stages too.
-    from fire_tpu.train.scenes import compose_scene, make_identities
+        # ~100k-identity gallery (the reference's hard cap,
+        # modules/hnsw_manager.py:29) so every match is a full-scale search.
+        # 100 rows of headroom are left under the cap so the bench's
+        # enrollments REALLY persist (SQLite insert + journal append) —
+        # persistence is ON in the headline since round 3 (VERDICT r2 #9);
+        # the journal-incremental save costs ~2 KB/enrollment, not a 200 MB
+        # snapshot rewrite.
+        rng = np.random.default_rng(0)
+        gal = rng.standard_normal((99_900, 512)).astype(np.float32)
+        gal /= np.linalg.norm(gal, axis=1, keepdims=True)
+        fr.gallery.load_rows(
+            (i + 1, f"person_{i}", gal[i].tobytes()) for i in range(gal.shape[0])
+        )
+        # one-time compacted snapshot (untimed setup): trials then pay only
+        # the incremental journal appends, as a long-running deployment would
+        fr.gallery.save(compact=True)
 
-    idents = make_identities(8, seed=0)
-    frames = [
-        compose_scene(rng, idents, hw=(1080, 1920), n_faces=(1, 1),
-                      face_px=(180, 360))[0].astype(np.uint8)
-        for _ in range(8)
-    ]
-    _log("8 rendered 1-face 1080p scenes ready")
+        # 1080p frames: rendered scenes with EXACTLY one face each (the
+        # reference headline video's workload shape — one webcam subject).
+        # Decode cost is not the metric; the reference reads frames outside
+        # its FPS loop stages too.
+        from fire_tpu.train.scenes import compose_scene, make_identities
+
+        idents = make_identities(8, seed=0)
+        frames = [
+            compose_scene(rng, idents, hw=(1080, 1920), n_faces=(1, 1),
+                          face_px=(180, 360))[0].astype(np.uint8)
+            for _ in range(8)
+        ]
+        _log("8 rendered 1-face 1080p scenes ready")
+        return fr, frames
+
+    setup, ok = _leg("setup (weights+gallery+scenes)", 2400, _setup)
+    if not ok:
+        # Nothing can be measured without the pipeline — emit an
+        # explicit no-measurement record rather than hanging forever.
+        print(json.dumps({
+            "metric": "1080p video FPS/chip (YuNet+FaceNet512, 100k gallery)",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "status": "SETUP FAILED OR DEVICE/TUNNEL STALLED — no "
+                      "measurement this run (see stderr)",
+        }))
+        sys.stdout.flush()
+        os._exit(3)
+    fr, frames = setup
 
     from fire_tpu.pipeline.batch_engine import BatchStreamEngine, stream_results
+
+    # per-leg deadline: compile + trials at healthy speed, plus 3x the
+    # measured-tunnel H2D time for whatever the leg stages
+    def _deadline(stage_frames: int, base_s: float = 900.0) -> float:
+        return base_s + 3.0 * stage_frames * frame_mb / max(h2d_mbps, 0.5)
 
     # ---- headline: the DEFAULT batched pipeline (exact bucketed
     # compaction — every detection encoded; ~1-face frames ride the
@@ -199,25 +256,52 @@ def main() -> None:
     device_ms_per_batch = {}
     batch_dev_by_B = {}
     for B in (128, 256):
-        bse = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg)
-        batch_np = np.stack([frames[i % len(frames)] for i in range(B)])
-        batch_dev = jax.device_put(batch_np)
-        jax.block_until_ready(batch_dev)
+
+        def _headline_leg(B=B):
+            bse = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg)
+            batch_np = np.stack([frames[i % len(frames)] for i in range(B)])
+            batch_dev = jax.device_put(batch_np)
+            jax.block_until_ready(batch_dev)
+
+            _log(f"B={B}: warmup/compile")
+            for _ in range(3):
+                res = bse.process_batch(batch_dev)
+                list(stream_results(fr, res))
+
+            # enough steps per trial that submit/collect pipelining
+            # amortizes the tunnel's per-readback latency AND the
+            # trial-boundary sync (a 4- vs 8-step A/B in r4 showed 4-step
+            # trials under-read steady state by ~5%); 20 trials so the
+            # tunnel's slow periods don't set the recorded numbers
+            n_steps = 8
+            trial_fps = _pipelined_fps(
+                bse, stream_results, fr, batch_dev, B, n_steps, trials=20)
+            _log(f"B={B} trial fps: {[round(f, 1) for f in trial_fps]}")
+
+            # device-time per batch: a 16-step no-readback chain (state
+            # feeds forward on device; only the final token is fetched) —
+            # the tunnel-weather-free compute+dispatch metric (VERDICT r4
+            # weak #2: single best-of-N FPS is weak evidence for ~5% claims)
+            dts = []
+            for _ in range(3):
+                t0 = time.time()
+                tok = None
+                for _ in range(16):
+                    tok = bse.submit(batch_dev)
+                jax.block_until_ready(tok[0])
+                dts.append((time.time() - t0) / 16)
+            dev_ms = round(statistics.median(dts) * 1000, 2)
+            _log(f"B={B} device step (no-readback chain): "
+                 f"{dev_ms} ms/batch = {B / (dev_ms / 1000):.0f} fps "
+                 "device-only")
+            return trial_fps, dev_ms, batch_dev
+
+        got, ok = _leg(f"headline B={B}", _deadline(B, 1500), _headline_leg)
+        if not ok:
+            continue
+        trial_fps, dev_ms, batch_dev = got
         batch_dev_by_B[B] = batch_dev
-
-        _log(f"B={B}: warmup/compile")
-        for _ in range(3):
-            res = bse.process_batch(batch_dev)
-            list(stream_results(fr, res))
-
-        # enough steps per trial that submit/collect pipelining
-        # amortizes the tunnel's per-readback latency AND the
-        # trial-boundary sync (a 4- vs 8-step A/B in r4 showed 4-step
-        # trials under-read steady state by ~5%); 20 trials so the
-        # tunnel's slow periods don't set the recorded numbers
-        n_steps = 8
-        trial_fps = _pipelined_fps(
-            bse, stream_results, fr, batch_dev, B, n_steps, trials=20)
+        device_ms_per_batch[B] = dev_ms
         spread[B] = {
             "best": round(max(trial_fps), 1),
             "median": round(statistics.median(trial_fps), 1),
@@ -225,55 +309,37 @@ def main() -> None:
             "p75": round(statistics.quantiles(trial_fps, n=4)[2], 1),
             "min": round(min(trial_fps), 1),
         }
-        _log(f"B={B} trial fps: {[round(f, 1) for f in trial_fps]}")
         _log(f"B={B} spread: {spread[B]}")
         if max(trial_fps) > best:
             best = max(trial_fps)
             headline_median = statistics.median(trial_fps)
-
-        # device-time per batch: a 16-step no-readback chain (state
-        # feeds forward on device; only the final token is fetched) —
-        # the tunnel-weather-free compute+dispatch metric (VERDICT r4
-        # weak #2: single best-of-N FPS is weak evidence for ~5% claims)
-        dts = []
-        for _ in range(3):
-            t0 = time.time()
-            tok = None
-            for _ in range(16):
-                tok = bse.submit(batch_dev)
-            jax.block_until_ready(tok[0])
-            dts.append((time.time() - t0) / 16)
-        device_ms_per_batch[B] = round(statistics.median(dts) * 1000, 2)
-        _log(f"B={B} device step (no-readback chain): "
-             f"{device_ms_per_batch[B]} ms/batch = "
-             f"{B / (device_ms_per_batch[B] / 1000):.0f} fps device-only")
 
     fps = best
 
     # ---- full-cost continuity leg: compaction disabled = the r1-r4
     # every-slot-encoded semantics, directly comparable to the
     # BENCH_r02 1358-fps high-water mark (VERDICT r4 #5)
-    B = 128
-    full_fps = []
-    try:
+    def _fullcost_leg():
+        B = 128
         bsef = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg,
                                  encode_buckets=())
         batch_dev = batch_dev_by_B[B]
         _log("full-cost (compaction off): warmup/compile")
         for _ in range(2):
             list(stream_results(fr, bsef.process_batch(batch_dev)))
-        full_fps = _pipelined_fps(
+        out = _pipelined_fps(
             bsef, stream_results, fr, batch_dev, B, n_steps=8, trials=10)
-        _log(f"full-cost trial fps: {[round(f, 1) for f in full_fps]}")
-    except Exception as e:
-        _log(f"full-cost leg skipped: {e}")
+        _log(f"full-cost trial fps: {[round(f, 1) for f in out]}")
+        return out
+
+    full_fps, _ok = _leg("full-cost", _deadline(0, 1200), _fullcost_leg,
+                         default=[])
 
     # ---- encode-budget leg (opt-in top-N semantics) — retained for
     # history; the exact bucketed default above supersedes it.  Reuses
     # the already-staged B=256 device batch (ADVICE r4 #2: re-uploading
     # ~1.6 GB over the dev tunnel wasted ~35-60 s/run).
-    budget_fps = 0.0
-    try:
+    def _budget_leg():
         B = 256
         bseb = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg,
                                  encode_budget=B)
@@ -283,25 +349,33 @@ def main() -> None:
             list(stream_results(fr, bseb.process_batch(batch_dev)))
         bfps = _pipelined_fps(
             bseb, stream_results, fr, batch_dev, B, n_steps=8, trials=6)
-        budget_fps = max(bfps)
         _log(f"encode-budget={B} trial fps: {[round(f,1) for f in bfps]}")
-    except Exception as e:
-        _log(f"encode-budget leg skipped: {e}")
+        return max(bfps)
+
+    budget_fps, _ok = _leg("encode-budget", _deadline(0, 900), _budget_leg,
+                           default=0.0)
 
     # reference's frame-skip config (README.md:54: YuNet+512, skipping):
     # detector/encoder run every 3rd frame, tracker coasts between
     # (B=96: 48 was latency-bound — 1.2k vs 1.9k fps measured).
     # n_steps=8 like every other leg (ADVICE r4 #1: 4-step trials
     # under-read steady state ~5%).
-    B = 96
-    bse3 = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg, detection_interval=3)
-    batch_dev = jax.device_put(np.stack([frames[i % len(frames)] for i in range(B)]))
-    jax.block_until_ready(batch_dev)
-    for _ in range(2):
-        list(stream_results(fr, bse3.process_batch(batch_dev)))
-    skip_fps = _pipelined_fps(
-        bse3, stream_results, fr, batch_dev, B, n_steps=8, trials=3)
-    _log(f"frame-skip (interval=3) trial fps: {[round(f,1) for f in skip_fps]}")
+    def _frameskip_leg():
+        B = 96
+        bse3 = BatchStreamEngine(fr.engine, fr.gallery, fr.cfg,
+                                 detection_interval=3)
+        batch_dev = jax.device_put(
+            np.stack([frames[i % len(frames)] for i in range(B)]))
+        jax.block_until_ready(batch_dev)
+        for _ in range(2):
+            list(stream_results(fr, bse3.process_batch(batch_dev)))
+        out = _pipelined_fps(
+            bse3, stream_results, fr, batch_dev, B, n_steps=8, trials=3)
+        _log(f"frame-skip (interval=3) trial fps: {[round(f,1) for f in out]}")
+        return out
+
+    skip_fps, _ok = _leg("frame-skip", _deadline(96, 1200), _frameskip_leg,
+                         default=[0.0])
 
     # ---- honest end-to-end process_video (VERDICT r1 #10): synthesize
     # a real .avi, then decode → H2D → detect/encode/match/track →
@@ -309,9 +383,9 @@ def main() -> None:
     # On this dev setup the number is dominated by the tunnel's H2D
     # (a ~200-600x artifact vs a production host's PCIe), so it is
     # reported alongside, not as, the headline.
-    e2e_fps = 0.0
     n_e2e = max(64, (_h2d_budget(128) // 64) * 64)
-    try:
+
+    def _e2e_leg():
         import cv2
 
         vid = os.path.join(storage, "synth.avi")
@@ -325,10 +399,12 @@ def main() -> None:
             vid, annotate=True,
             save_path=os.path.join(storage, "out.avi"), batch_size=64,
         )
-        e2e_fps = n_e2e / (time.time() - t0)
-        _log(f"e2e process_video (decode+H2D+compute+annotate+write): {e2e_fps:.1f} fps")
-    except Exception as e:  # keep the headline robust to cv2/codec gaps
-        _log(f"e2e bench skipped: {e}")
+        out = n_e2e / (time.time() - t0)
+        _log(f"e2e process_video (decode+H2D+compute+annotate+write): {out:.1f} fps")
+        return out
+
+    e2e_fps, _ok = _leg("e2e process_video", _deadline(n_e2e, 900),
+                        _e2e_leg, default=0.0)
 
     # ---- pre-decoded in-RAM frames through the FULL process_frames
     # loop, now with the per-stage host-plane breakdown (VERDICT r4 #2):
@@ -340,11 +416,9 @@ def main() -> None:
     # state of the double-buffered loop on a production host where H2D
     # rides PCIe (~0.25 ms/frame at 6 MB & 25 GB/s, folded into the
     # device column which already overlaps it).
-    inram_fps = 0.0
-    host_plane = {}
-    projected_fps = 0.0
     n_ir = max(64, (_h2d_budget(256) // 64) * 64)
-    try:
+
+    def _inram_leg():
         t0 = time.time()
         fr.process_frames(
             (frames[i % len(frames)] for i in range(n_ir)),
@@ -373,8 +447,10 @@ def main() -> None:
              f"host plane {host_plane}")
         _log(f"projected co-located-host e2e: {projected_fps:.0f} fps "
              f"(= 1/max(host {host_ms:.3f} ms, device {dev_ms_pf:.3f} ms) per frame)")
-    except Exception as e:
-        _log(f"in-RAM e2e leg skipped: {e}")
+        return inram_fps, host_plane, projected_fps
+
+    got, ok = _leg("in-RAM process_frames", _deadline(n_ir, 900), _inram_leg)
+    inram_fps, host_plane, projected_fps = got if ok else (0.0, {}, 0.0)
 
     print(
         json.dumps(
@@ -410,6 +486,10 @@ def main() -> None:
             }
         )
     )
+    sys.stdout.flush()
+    # abandoned (tunnel-stalled) leg threads may be wedged inside device
+    # calls; never let them block interpreter exit
+    os._exit(0)
 
 
 if __name__ == "__main__":

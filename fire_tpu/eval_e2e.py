@@ -187,7 +187,7 @@ def run_matrix(args) -> None:
     # selfie camera at a meeting, and the table says so.
     close_slots = {"mediapipe"}
     rows = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_start, args.seeds):
         tmp = tempfile.mkdtemp(prefix=f"fire_e2e_m{seed}_")
         scenarios = {}  # scenario name -> (video, gt, n_ids, face_px)
         need_far = any(s not in close_slots for s in args.slots)
@@ -311,6 +311,9 @@ def main() -> None:
                          "combo + a final markdown table")
     ap.add_argument("--seeds", type=int, default=3,
                     help="matrix mode: number of seeds")
+    ap.add_argument("--seed_start", type=int, default=0,
+                    help="matrix mode: first seed (resume a long sweep "
+                         "without redoing finished seeds)")
     ap.add_argument("--mediapipe_face_px", type=int, default=480,
                     help="matrix mode: face size for the mediapipe "
                          "slot's close-range GT video (the short-range "
