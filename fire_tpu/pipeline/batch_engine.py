@@ -426,10 +426,15 @@ class BatchStreamEngine:
                     max(1, min(budget, nk))
                 )
             else:
-                buckets = _bucket_ladder(nk, buckets_opt)
-                if buckets == (nk,) or not buckets:
-                    # no useful ladder (tiny batches / compaction off):
-                    # the legacy full-B·K path, one crop per slot
+                def encode_full(_=None):
+                    """Legacy full-B·K path: one vmapped crop per slot.
+                    Cheaper than the gather at m=nk (crop_selected_rows
+                    chunks the gather into sequential lax.map slices to
+                    bound its row-gather temp — at the top rung that
+                    serialization costs more than the pad it avoids), so
+                    the ladder's lossless top rung runs this instead.
+                    Invalid slots are masked to the same fills as
+                    encode_compacted so every switch branch agrees."""
                     crops = jax.vmap(
                         lambda img, b: crop_and_resize_mm(img, b, size)
                     )(det_frames, boxes)
@@ -437,15 +442,21 @@ class BatchStreamEngine:
                     emb_q = l2_normalize(enc_fn(enc_vars, flat).astype(jnp.float32))
                     sims, idx = match(emb_q)
                     emb = emb_q.reshape(n_det, k, -1) * mask[..., None]
-                    det_gid = idx.reshape(n_det, k)
-                    det_sim = sims.reshape(n_det, k)
-                    has_emb = mask
+                    det_sim = jnp.where(mask, sims.reshape(n_det, k), 0.0)
+                    det_gid = jnp.where(mask, idx.reshape(n_det, k), -1)
+                    return emb, det_sim, det_gid, mask
+
+                buckets = _bucket_ladder(nk, buckets_opt)
+                if buckets == (nk,) or not buckets:
+                    # no useful ladder (tiny batches / compaction off)
+                    emb, det_sim, det_gid, has_emb = encode_full()
                 else:
                     # exact bucketed compaction: every real detection is
                     # inside the chosen bucket (the ladder ends at nk),
                     # so semantics are identical to the full path — XLA
                     # compiles one crop+encode+match program per bucket
-                    # and the device executes exactly one.
+                    # and the device executes exactly one.  The top
+                    # (=nk) rung IS the full path: see encode_full.
                     n_real = mask.sum()
                     sel = jnp.searchsorted(
                         jnp.asarray(buckets, jnp.int32), n_real, side="left"
@@ -453,7 +464,7 @@ class BatchStreamEngine:
                     emb, det_sim, det_gid, has_emb = jax.lax.switch(
                         sel,
                         [lambda _=None, m=m: encode_compacted(m)
-                         for m in buckets],
+                         for m in buckets[:-1]] + [encode_full],
                     )
 
             if interval > 1:

@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny models/shapes for a CPU smoke test of the "
                          "profiler itself (numbers are meaningless)")
+    ap.add_argument("--trained", action="store_true",
+                    help="profile the bench headline's exact workload: "
+                         "committed trained weights on rendered 1-face "
+                         "scenes, so the compaction bucket the step picks "
+                         "matches the headline (random weights + noise "
+                         "frames would let detector noise pick it)")
     args = ap.parse_args()
 
     import jax
@@ -118,9 +124,27 @@ def main():
     rows /= np.linalg.norm(rows, axis=1, keepdims=True)
     gal.load_rows((i + 1, f"p{i}", rows[i].tobytes()) for i in range(rows.shape[0]))
 
-    frames = jax.device_put(
-        rng.integers(0, 255, (B, *frame_hw, 3), np.uint8)
-    )
+    if args.trained and not args.tiny:
+        # the bench headline's workload: committed trained weights on
+        # rendered scenes with exactly one face each (bench.py setup)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        eng.load_trained_detector(
+            os.path.join(repo, "weights_trained", "yunet_synth.msgpack"))
+        eng.load_trained_encoder(
+            os.path.join(repo, "weights_trained", "facenet512_synth.msgpack"))
+        from fire_tpu.train.scenes import compose_scene, make_identities
+
+        idents = make_identities(8, seed=0)
+        scenes = np.stack([
+            compose_scene(rng, idents, hw=frame_hw, n_faces=(1, 1),
+                          face_px=(180, 360))[0].astype(np.uint8)
+            for _ in range(8)
+        ])
+        host_frames = np.tile(scenes, (max(1, B // 8 + 1), 1, 1, 1))[:B]
+        _log("trained weights + rendered 1-face scenes loaded")
+    else:
+        host_frames = rng.integers(0, 255, (B, *frame_hw, 3), np.uint8)
+    frames = jax.device_put(host_frames)
     jax.block_until_ready(frames)
 
     # ---- full fused step ----
@@ -159,6 +183,43 @@ def main():
 
     enc_stage_j = jax.jit(enc_stage)
     t_enc = _time_fn(enc_stage_j, (eng.enc_vars, frames, boxes))
+
+    # ---- compacted encoder stage per bucket (round-5 default path):
+    # crop_selected_rows gathers only the batch's real detections, so
+    # the encoder runs on m inputs instead of B*k pad-heavy slots.
+    # One real face per frame models the headline workload's rung.
+    from fire_tpu.ops.image import crop_selected_rows
+    from fire_tpu.pipeline.batch_engine import _bucket_ladder
+
+    nk = B * k
+    fs_host = np.full((nk,), -1.0, np.float32)
+    fs_host[::k] = 1.0  # one real detection per frame
+    flat_scores = jax.device_put(fs_host)
+    boxes_flat = jax.device_put(
+        np.tile(np.asarray([[400.0, 300.0, 280.0, 280.0]], np.float32), (nk, 1)))
+
+    def enc_compact(enc_vars, frames, flat_scores, boxes_flat, m):
+        top_s, top_idx = jax.lax.top_k(flat_scores, m)
+        sel_valid = top_s >= 0.0
+        sel_frame = (top_idx // k).astype(jnp.int32)
+        crops = crop_selected_rows(frames, sel_frame, boxes_flat[top_idx], size)
+        flat = bgr_to_rgb(crops / 255.0).reshape((-1, *size, 3))
+        return l2_normalize(eng._enc_fn(enc_vars, flat)) * sel_valid[:, None]
+
+    enc_buckets = {}
+    for m in _bucket_ladder(nk, None):
+        fj = jax.jit(lambda v, f, s, b, m=m: enc_compact(v, f, s, b, m))
+        enc_buckets[m] = round(
+            _time_fn(fj, (eng.enc_vars, frames, flat_scores, boxes_flat)) * 1e3, 2)
+        _log(f"  compacted encoder m={m}: {enc_buckets[m]} ms")
+
+    # which rung would the step pick on THESE frames/weights?
+    dets_probe = det_stage(eng.det_vars, frames)
+    per_frame = jnp.minimum(dets_probe.mask.sum(axis=-1), k)
+    n_real = int(np.asarray(per_frame.sum()))
+    ladder = _bucket_ladder(nk, None)
+    chosen = next((m for m in ladder if m >= n_real), nk)
+    _log(f"  real detections in batch: {n_real} -> bucket {chosen}")
 
     q = jax.device_put(rows[: B * k].copy())
     try:
@@ -205,9 +266,13 @@ def main():
     sum_stages = t_det + t_enc + t_gal + t_scan
     out = {
         "batch": B,
+        "trained_workload": bool(args.trained),
         "full_step_ms": round(t_full * 1e3, 2),
         "fps": round(B / t_full, 1),
         "stages_separate": stages,
+        "encoder_compacted_ms_by_bucket": enc_buckets,
+        "real_detections_in_batch": n_real,
+        "chosen_bucket": chosen,
         "sum_stages_ms": round(sum_stages * 1e3, 2),
         "fusion_gain_ms": round((sum_stages - t_full) * 1e3, 2),
         "xla_flops_estimate": fl_full,
